@@ -1,0 +1,91 @@
+"""Blocked QB factorization (reference: RandLAPACK/comps/rl_qb.hh: QBalg
+:18, QB::call :134 — grow Q,B by b_sz columns per iteration, Gram-Schmidt
+re-orth against previous blocks, Frobenius error tracking, early stop).
+
+TPU redesign (SURVEY.md §7 "dynamic shapes"): outputs are preallocated at
+max rank k and filled blockwise inside one jitted fori_loop — no realloc
+growth. Adaptive termination is done by the caller from the returned
+per-block error vector (``qb`` helper), keeping the hot loop fully static.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import STABLE_PRECISION
+from ..rng import RNGState
+from .orth import Stab, orth
+from .rf import RFConfig, rf
+
+
+@dataclasses.dataclass(frozen=True)
+class QBConfig:
+    rf: RFConfig = RFConfig()
+    orth: Stab = Stab.cholqr2     # re-orthogonalization method
+    block_size: int = 64
+
+
+@partial(jax.jit, static_argnames=("k", "cfg", "precision"))
+def qb_blocked(A: jax.Array, k: int, cfg: QBConfig, state: RNGState,
+               precision=STABLE_PRECISION):
+    """Fixed-rank blocked QB: A ≈ Q B with Q (m,k) orthonormal, B (k,n).
+
+    Returns ``(Q, B, block_errs, next_state)`` where ``block_errs[i]`` is
+    ‖A − Q_{:(i+1)b} B_{:(i+1)b}‖_F / ‖A‖_F after block i — the caller
+    truncates to the first block meeting its tolerance (adaptive-rank
+    behavior with a static compute graph).
+    """
+    m, n = A.shape
+    b = cfg.block_size
+    assert k % b == 0, "k must be a multiple of block_size"
+    nblocks = k // b
+    norm_A = jnp.linalg.norm(A)
+
+    Q = jnp.zeros((m, k), A.dtype)
+    B = jnp.zeros((k, n), A.dtype)
+    errs = jnp.zeros((nblocks,), A.dtype)
+
+    # fori_loop-safe RNG: per-block independent streams branched off `state`
+    base = state
+
+    def block(i, carry):
+        A_work, Q, B, errs = carry
+        bstate = base.branch(i)  # independent per-block stream
+        Qi, _ = rf(A_work, b, cfg.rf, bstate, precision)
+        # re-orthogonalize against all previous blocks (zeros in unfilled
+        # columns of Q are no-ops): Qi ← Qi − Q (Qᵀ Qi), then re-orth
+        proj = jnp.matmul(Q.T, Qi, precision=precision)
+        Yi = Qi - jnp.matmul(Q, proj, precision=precision)
+        Qi, fail = orth(Yi, cfg.orth, precision)
+        Qi = jax.lax.cond(fail,
+                          lambda y: orth(y, Stab.hqr, precision)[0],
+                          lambda y: Qi, Yi)
+        Bi = jnp.matmul(Qi.T, A_work, precision=precision)
+        A_work = A_work - jnp.matmul(Qi, Bi, precision=precision)
+        Q = jax.lax.dynamic_update_slice(Q, Qi, (0, i * b))
+        B = jax.lax.dynamic_update_slice(B, Bi, (i * b, 0))
+        errs = errs.at[i].set(jnp.linalg.norm(A_work) / norm_A)
+        return A_work, Q, B, errs
+
+    _, Q, B, errs = jax.lax.fori_loop(0, nblocks, block, (A, Q, B, errs))
+    return Q, B, errs, base.branch(-2)
+
+
+def qb(A: jax.Array, k: int, cfg: QBConfig, state: RNGState, tol: float = 0.0,
+       precision=STABLE_PRECISION):
+    """Adaptive QB: runs the blocked factorization and truncates at the
+    first block whose relative Frobenius error is ≤ tol (or rank k).
+
+    Returns ``(Q, B, rank, err, next_state)`` — Q, B are sliced on host.
+    """
+    b = cfg.block_size
+    k_pad = -(-k // b) * b
+    Q, B, errs, state = qb_blocked(A, k_pad, cfg, state, precision)
+    errs_h = jax.device_get(errs)
+    nb = len(errs_h)
+    stop = next((i for i in range(nb) if errs_h[i] <= tol), nb - 1)
+    rank = min((stop + 1) * b, k)
+    return Q[:, :rank], B[:rank, :], rank, float(errs_h[stop]), state

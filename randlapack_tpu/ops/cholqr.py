@@ -1,0 +1,88 @@
+"""CholeskyQR family — the TPU-native orthogonalization workhorse.
+
+The reference uses CholQR (syrk→potrf→trsm) as its fastest stabilizer
+(reference: RandLAPACK/comps/rl_orth.hh:69-98) and shifted CholQR3 for
+operators (rl_scholqr3_linops.hh:45,132). On TPU this family is ideal:
+the Gram matrix is one big MXU matmul, Cholesky and triangular solves are
+native XLA ops, and no column-sequential Householder pass is needed.
+
+All functions are jit-traceable and return an explicit failure flag instead
+of throwing (potrf failure → NaNs in XLA's cholesky; we detect and report,
+mirroring the reference's ``chol_fail`` handling, rl_orth.hh:81-84).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import STABLE_PRECISION
+
+
+def _gram(A, precision):
+    return jnp.matmul(A.T, A, precision=precision)
+
+
+def _solve_rt(A, R, precision=None):
+    """A @ R^{-1} for upper-triangular R via triangular_solve."""
+    return jax.lax.linalg.triangular_solve(
+        R, A, left_side=False, lower=False, transpose_a=False)
+
+
+def cholqr(A: jax.Array, precision=STABLE_PRECISION):
+    """One-pass CholeskyQR. Returns ``(Q, R, fail)``.
+
+    fail is a bool scalar: True iff the Cholesky broke down (Gram matrix
+    numerically indefinite) — the caller decides the fallback, like the
+    reference's CholQRQ ``chol_fail`` flag.
+    """
+    G = _gram(A, precision)
+    L = jax.lax.linalg.cholesky(G)  # lower; NaN on failure
+    fail = jnp.any(jnp.isnan(L)) | jnp.any(jnp.diag(L) <= 0)
+    R = L.T
+    Q = _solve_rt(A, R)
+    return Q, R, fail
+
+
+def cholqr2(A: jax.Array, precision=STABLE_PRECISION):
+    """CholeskyQR2 — two passes; orthogonality ~ machine eps when
+    cond(A) ≲ 1/sqrt(eps). Returns ``(Q, R, fail)``."""
+    Q1, R1, f1 = cholqr(A, precision)
+    Q, R2, f2 = cholqr(Q1, precision)
+    R = jnp.matmul(R2, R1, precision=precision)
+    return Q, R, f1 | f2
+
+
+def shifted_cholqr3(A: jax.Array, precision=STABLE_PRECISION):
+    """Shifted CholeskyQR3 (Fukaya et al.) — unconditionally stable for
+    cond(A) up to ~1/eps. Mirrors rl_scholqr3_linops.hh:45: the first pass
+    shifts the Gram matrix by s = 11·eps·n·‖A‖_F² to force positive
+    definiteness, then two plain CholQR passes clean up.
+
+    Returns ``(Q, R, fail)``.
+    """
+    m, n = A.shape
+    eps = jnp.finfo(A.dtype).eps
+    G = _gram(A, precision)
+    s = 11.0 * eps * n * jnp.trace(G)  # trace(AᵀA) = ‖A‖_F²
+    L1 = jax.lax.linalg.cholesky(G + s * jnp.eye(n, dtype=A.dtype))
+    f1 = jnp.any(jnp.isnan(L1))
+    Q1 = _solve_rt(A, L1.T)
+    Q2, R2, f2 = cholqr(Q1, precision)
+    Q, R3, f3 = cholqr(Q2, precision)
+    R = jnp.matmul(R3, jnp.matmul(R2, L1.T, precision=precision),
+                   precision=precision)
+    return Q, R, f1 | f2 | f3
+
+
+def preconditioned_cholqr(A: jax.Array, R_pre: jax.Array,
+                          precision=STABLE_PRECISION):
+    """CholQR of A·R_pre⁻¹ — the sketch-precondition pattern of CQRRT/CQRRPT
+    (rl_cqrrt.hh, rl_cqrrpt.hh:287-332): a well-conditioned preconditioned
+    matrix makes a single CholQR pass safe.
+
+    Returns ``(Q, R, fail)`` with R = R_chol · R_pre (the factor of A).
+    """
+    A_pre = _solve_rt(A, R_pre)
+    Q, R_chol, fail = cholqr(A_pre, precision)
+    R = jnp.matmul(R_chol, R_pre, precision=precision)
+    return Q, R, fail

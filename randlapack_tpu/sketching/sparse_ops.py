@@ -1,0 +1,141 @@
+"""Sparse sketching operators — SASO/SJLT (RandBLAS ``SparseDist``/``SparseSkOp``).
+
+Reference usage: CQRRPT and the preconditioner constructors sketch with a
+short-axis sparse operator, vec_nnz nonzeros per long-axis vector
+(reference: RandLAPACK/drivers/rl_cqrrpt.hh:214-222,
+RandLAPACK/comps/rl_preconditioners.hh:136-160, ``Axis::Short``).
+
+TPU-first representation: structure-of-arrays — for a d×m operator with
+d ≤ m (the common "sketch the tall axis" case), each of the m columns holds
+``vec_nnz`` entries at distinct random rows with iid ±1 values:
+
+    rows : (vec_nnz, m) int32   row index of each nonzero
+    vals : (vec_nnz, m) dtype   ±1 (unscaled; isometry_scale = 1/√vec_nnz)
+
+Apply S @ A is a sum of ``vec_nnz`` scatter-adds of sign-flipped copies of A
+— O(vec_nnz·m·n) work, HBM-bandwidth bound, no MXU needed. A is streamed
+once per nnz layer and never gathered into a (vec_nnz·m, n) temporary.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..rng import RNGState
+from .sampling import sample_distinct_uniform
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseDist:
+    """Distribution over short-axis sparse sketching operators (SASO)."""
+
+    n_rows: int
+    n_cols: int
+    vec_nnz: int = 2
+
+    @property
+    def short_axis(self) -> int:
+        return min(self.n_rows, self.n_cols)
+
+    @property
+    def isometry_scale(self) -> float:
+        return 1.0 / math.sqrt(self.vec_nnz)
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseSkOp:
+    dist: SparseDist
+    rows: jax.Array  # (vec_nnz, long_axis) indices into the short axis
+    vals: jax.Array  # (vec_nnz, long_axis) ±1
+
+    @property
+    def n_rows(self):
+        return self.dist.n_rows
+
+    @property
+    def n_cols(self):
+        return self.dist.n_cols
+
+
+def fill_sparse(dist: SparseDist, state: RNGState, dtype=jnp.float32,
+                distinct: bool = True):
+    """Sample a SASO. Returns ``(SparseSkOp, next_state)``.
+
+    ``distinct=True`` draws the vec_nnz positions per vector without
+    replacement (exact SASO); ``False`` draws iid (tiny collision rate,
+    faster to sample).
+    """
+    d = dist.short_axis
+    long_axis = max(dist.n_rows, dist.n_cols)
+    if distinct and dist.vec_nnz > 1:
+        idx, state = sample_distinct_uniform(d, dist.vec_nnz, long_axis, state)
+        rows = idx.T  # (vec_nnz, long_axis)
+    else:
+        key, state = state.spawn()
+        rows = jax.random.randint(key, (dist.vec_nnz, long_axis), 0, d,
+                                  dtype=jnp.int32)
+    skey, state = state.spawn()
+    vals = jax.random.rademacher(skey, (dist.vec_nnz, long_axis),
+                                 dtype=dtype)
+    return SparseSkOp(dist, rows, vals), state
+
+
+def saso_left_apply(S: SparseSkOp, A: jax.Array, scale: bool = True):
+    """Compute (isometry-scaled) S @ A for a wide d×m SASO and m×n dense A.
+
+    Implemented as vec_nnz scatter-add layers: out[rows[j, c], :] +=
+    vals[j, c] * A[c, :]. Each layer touches A once — bandwidth-optimal.
+    """
+    d = S.dist.n_rows
+    m, n = A.shape
+    assert S.dist.n_cols == m, (S.dist, A.shape)
+    out = jnp.zeros((d, n), dtype=A.dtype)
+
+    def layer(j, acc):
+        r = jax.lax.dynamic_index_in_dim(S.rows, j, 0, keepdims=False)
+        v = jax.lax.dynamic_index_in_dim(S.vals, j, 0, keepdims=False)
+        return acc.at[r].add(v[:, None] * A)
+
+    out = jax.lax.fori_loop(0, S.dist.vec_nnz, layer, out)
+    if scale:
+        out = out * jnp.asarray(S.dist.isometry_scale, A.dtype)
+    return out
+
+
+def saso_right_apply(A: jax.Array, S: SparseSkOp, scale: bool = True):
+    """Compute A @ S for an m×d tall SASO (sketching columns): (n×m)·(m×d)."""
+    # A: (n, m), S: m×d with short axis d → per row of S (long axis m),
+    # vec_nnz entries into [0, d). out[:, cols[j,r]] += vals[j,r] * A[:, r].
+    n, m = A.shape
+    assert S.dist.n_rows == m, (S.dist, A.shape)
+    d = S.dist.n_cols
+    out = jnp.zeros((n, d), dtype=A.dtype)
+
+    def layer(j, acc):
+        c = jax.lax.dynamic_index_in_dim(S.rows, j, 0, keepdims=False)
+        v = jax.lax.dynamic_index_in_dim(S.vals, j, 0, keepdims=False)
+        return acc.T.at[c].add((A * v[None, :]).T).T
+
+    out = jax.lax.fori_loop(0, S.dist.vec_nnz, layer, out)
+    if scale:
+        out = out * jnp.asarray(S.dist.isometry_scale, A.dtype)
+    return out
+
+
+def saso_to_dense(S: SparseSkOp, dtype=None, scale: bool = True):
+    """Materialize the SASO as a dense (n_rows, n_cols) array (tests/small d)."""
+    dtype = dtype or S.vals.dtype
+    d = S.dist.short_axis
+    long_axis = max(S.dist.n_rows, S.dist.n_cols)
+    dense = jnp.zeros((d, long_axis), dtype=dtype)
+    cols = jnp.broadcast_to(jnp.arange(long_axis), S.rows.shape)
+    dense = dense.at[S.rows.ravel(), cols.ravel()].add(
+        S.vals.ravel().astype(dtype))
+    if scale:
+        dense = dense * jnp.asarray(S.dist.isometry_scale, dtype)
+    if S.dist.n_rows > S.dist.n_cols:  # tall operator: short axis is cols
+        dense = dense.T
+    return dense
