@@ -1,0 +1,118 @@
+"""Kernel toolbox tests: CholQR family, geqp3, LU pivots, utilities.
+Tolerances follow the reference's test conventions (residual and
+orthogonality ≤ eps^0.75-scale, SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from randlapack_tpu import RNGState
+from randlapack_tpu.ops import cholqr, cholqr2, shifted_cholqr3, geqp3, qr_econ
+from randlapack_tpu.ops.qr import lu_pivot_columns
+from randlapack_tpu.ops import util
+from randlapack_tpu.gen import (MatGenInfo, MatType, mat_gen,
+                                bad_cholqr_matrix, kahan_matrix)
+
+EPS = np.finfo(np.float64).eps
+ATOL = EPS ** 0.75
+
+
+def _orth_err(Q):
+    return float(util.orthogonality_check(Q))
+
+
+class TestCholQR:
+    def test_wellcond(self):
+        A, _ = mat_gen(MatGenInfo(500, 60, MatType.exponential, cond_num=10),
+                       RNGState(0))
+        Q, R, fail = cholqr(A)
+        assert not bool(fail)
+        assert _orth_err(Q) < ATOL * np.sqrt(60)
+        np.testing.assert_allclose(np.asarray(Q @ R), np.asarray(A),
+                                   atol=ATOL * float(jnp.linalg.norm(A)))
+
+    def test_cholqr2_illcond(self):
+        A, _ = mat_gen(MatGenInfo(500, 60, MatType.exponential, cond_num=1e6),
+                       RNGState(1))
+        Q, R, fail = cholqr2(A)
+        assert not bool(fail)
+        assert _orth_err(Q) < ATOL * np.sqrt(60)
+
+    def test_cholqr_fails_on_bad(self):
+        # cond ~ 1/sqrt(eps_f64) breaks one-pass CholQR's Gram matrix
+        A, _ = bad_cholqr_matrix(400, 50, RNGState(2), jnp.float64,
+                                 cond=1e13)
+        _, _, fail = cholqr(A)
+        # shifted CholQR3 must survive the same matrix
+        Q, R, f3 = shifted_cholqr3(A)
+        assert not bool(f3)
+        assert _orth_err(Q) < 1e-10 * np.sqrt(50)
+        np.testing.assert_allclose(np.asarray(Q @ R), np.asarray(A),
+                                   atol=ATOL * float(jnp.linalg.norm(A)))
+
+
+class TestGEQP3:
+    def test_factorization(self):
+        A, _ = mat_gen(MatGenInfo(80, 60, MatType.polynomial, cond_num=1e8),
+                       RNGState(3))
+        Q, R, J = geqp3(A)
+        AJ = np.asarray(util.col_swap(A, J))
+        np.testing.assert_allclose(np.asarray(Q @ R), AJ,
+                                   atol=ATOL * float(jnp.linalg.norm(A)))
+        assert _orth_err(Q) < 1e-12 * np.sqrt(60)
+        # pivoting property: diagonal decreasing in magnitude
+        d = np.abs(np.diag(np.asarray(R)))
+        assert np.all(d[:-1] >= d[1:] * (1 - 1e-10))
+
+    def test_vs_scipy(self):
+        import scipy.linalg as sla
+        A, _ = mat_gen(MatGenInfo(50, 40, MatType.exponential, cond_num=1e4),
+                       RNGState(4))
+        _, R, J = geqp3(A)
+        _, Rs, Js = sla.qr(np.asarray(A), pivoting=True, mode="economic")
+        np.testing.assert_allclose(np.abs(np.diag(np.asarray(R))),
+                                   np.abs(np.diag(Rs)), rtol=1e-8)
+        np.testing.assert_array_equal(np.asarray(J), Js)
+
+    def test_kahan_pivots(self):
+        # Kahan matrix: QRCP must reveal the small trailing singular value
+        A = kahan_matrix(40, jnp.float64)
+        _, R, J = geqp3(A)
+        s = np.linalg.svd(np.asarray(A), compute_uv=False)
+        d = np.abs(np.diag(np.asarray(R)))
+        assert d[-1] < 100 * s[-1] + 1e-12
+
+    def test_rank_deficient(self):
+        A, _ = mat_gen(MatGenInfo(60, 40, MatType.exponential, cond_num=1e3),
+                       RNGState(5), dtype=jnp.float64)
+        A = jnp.concatenate([A[:, :20], A[:, :20]], axis=1)  # rank 20
+        Q, R, J = geqp3(A)
+        d = np.abs(np.diag(np.asarray(R)))
+        assert d[20] < 1e-10 * d[0]
+        AJ = np.asarray(util.col_swap(A, J))
+        np.testing.assert_allclose(np.asarray(Q @ R), AJ,
+                                   atol=ATOL * float(jnp.linalg.norm(A)))
+
+
+class TestLUPivots:
+    def test_first_pivot_is_large(self):
+        A, _ = mat_gen(MatGenInfo(30, 100, MatType.polynomial, cond_num=1e6),
+                       RNGState(6))
+        perm = lu_pivot_columns(A.T)
+        norms = np.linalg.norm(np.asarray(A), axis=0)
+        # first chosen column should be within a small factor of the max
+        assert norms[int(perm[0])] > 0.3 * norms.max()
+
+
+class TestUtil:
+    def test_naive_rank_est(self):
+        d = jnp.asarray([3.0, 2.0, 1e-14, 5.0])
+        assert int(util.naive_rank_est(d, 1e-10)) == 2
+
+    def test_pivots(self):
+        J = jnp.asarray([2, 0, 1], dtype=jnp.int32)
+        inv = util.invert_pivots(J)
+        np.testing.assert_array_equal(np.asarray(inv), [1, 2, 0])
+        A = jnp.arange(9.0).reshape(3, 3)
+        np.testing.assert_allclose(
+            np.asarray(util.col_swap(util.col_swap(A, J), inv)),
+            np.asarray(A))

@@ -1,0 +1,129 @@
+"""Driver tests: CQRRT, CQRRPT, BQRRP — residual, orthogonality, and pivot
+quality vs LAPACK-style ground truth, mirroring the reference's test recipe
+(test/drivers/test_{cqrrpt,bqrrp}.cc; tolerances eps^0.75-scale)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from randlapack_tpu import RNGState
+from randlapack_tpu.drivers import (BQRRPConfig, CQRRPTConfig, CQRRTConfig,
+                                    QRTall, bqrrp, cqrrpt, cqrrt)
+from randlapack_tpu.gen import MatGenInfo, MatType, mat_gen
+from randlapack_tpu.ops import util
+
+EPS = np.finfo(np.float64).eps
+ATOL = EPS ** 0.75
+
+
+def _check_qr(A, Q, R, J=None, rank=None):
+    m, n = A.shape
+    k = rank if rank is not None else min(Q.shape[1], R.shape[0])
+    Qk, Rk = Q[:, :k], R[:k, :]
+    target = util.col_swap(A, J) if J is not None else A
+    res = float(jnp.linalg.norm(Qk @ Rk - target) / jnp.linalg.norm(A))
+    orth = float(util.orthogonality_check(Qk))
+    assert res < ATOL * 10, f"residual {res}"
+    assert orth < ATOL * np.sqrt(k) * 10, f"orthogonality {orth}"
+
+
+class TestCQRRT:
+    @pytest.mark.parametrize("cond", [10.0, 1e8])
+    def test_basic(self, cond):
+        A, st = mat_gen(MatGenInfo(2000, 100, MatType.exponential,
+                                   cond_num=cond), RNGState(0))
+        Q, R, fail, _ = cqrrt(A, CQRRTConfig(), st)
+        assert not bool(fail)
+        _check_qr(A, Q, R)
+        # R upper triangular
+        assert float(jnp.linalg.norm(jnp.tril(R, -1))) == 0.0
+
+    def test_srht_sketch(self):
+        from randlapack_tpu.drivers import SketchKind
+        A, st = mat_gen(MatGenInfo(1000, 64, MatType.exponential,
+                                   cond_num=1e4), RNGState(1))
+        Q, R, fail, _ = cqrrt(A, CQRRTConfig(sketch=SketchKind.srht), st)
+        assert not bool(fail)
+        _check_qr(A, Q, R)
+
+
+class TestCQRRPT:
+    @pytest.mark.parametrize("mtype,cond", [
+        (MatType.gaussian, None),
+        (MatType.polynomial, 1e8),
+        (MatType.exponential, 1e10),
+    ])
+    def test_full_rank(self, mtype, cond):
+        info = MatGenInfo(2000, 120, mtype, cond_num=cond or 1e3)
+        A, st = mat_gen(info, RNGState(2))
+        Q, R, J, rank, fail, _ = cqrrpt(A, CQRRPTConfig(), st)
+        assert not bool(fail)
+        assert int(rank) == 120
+        _check_qr(A, Q, R, J)
+        # pivots are a permutation
+        assert len(set(np.asarray(J).tolist())) == 120
+
+    def test_rank_deficient(self):
+        A, st = mat_gen(MatGenInfo(1500, 50, MatType.exponential,
+                                   cond_num=100), RNGState(3))
+        A = jnp.concatenate([A, A[:, :50]], axis=1)  # 100 cols, rank 50
+        Q, R, J, rank, fail, _ = cqrrpt(A, CQRRPTConfig(), st)
+        assert int(rank) == 50
+        _check_qr(A, Q, R, J, rank=int(rank))
+
+    def test_pivot_quality(self):
+        # leading R diagonal should track the large singular values
+        A, st = mat_gen(MatGenInfo(2000, 100, MatType.step, cond_num=1e6),
+                        RNGState(4))
+        Q, R, J, rank, fail, _ = cqrrpt(A, CQRRPTConfig(), st)
+        s = np.linalg.svd(np.asarray(A), compute_uv=False)
+        d = np.abs(np.diag(np.asarray(R)))
+        assert d[0] > 0.1 * s[0]
+        assert d[-1] < 10 * s[-1] + 1e-12
+
+
+class TestBQRRP:
+    @pytest.mark.parametrize("m,n,b", [(600, 600, 100), (1000, 300, 100),
+                                       (300, 1000, 100)])
+    def test_shapes(self, m, n, b):
+        A, st = mat_gen(MatGenInfo(m, n, MatType.polynomial, cond_num=1e6),
+                        RNGState(5))
+        Q, R, J, rank, fail, _ = bqrrp(A, BQRRPConfig(block_size=b), st)
+        K = min(m, n)
+        assert Q.shape == (m, K) and R.shape == (K, n)
+        assert not bool(fail)
+        _check_qr(A, Q, R, J)
+        assert len(set(np.asarray(J).tolist())) == n
+
+    def test_vs_geqp3_diag(self):
+        # randomized pivoting should produce an R diagonal within a modest
+        # factor of LAPACK geqp3's (the reference's pivot-quality benchmark)
+        import scipy.linalg as sla
+        A, st = mat_gen(MatGenInfo(400, 400, MatType.step, cond_num=1e8),
+                        RNGState(6))
+        Q, R, J, rank, fail, _ = bqrrp(A, BQRRPConfig(block_size=50), st)
+        _, Rs, _ = sla.qr(np.asarray(A), pivoting=True, mode="economic")
+        d, ds = np.abs(np.diag(np.asarray(R))), np.abs(np.diag(Rs))
+        ratio = d / ds
+        assert ratio.max() < 30 and ratio.min() > 1 / 30
+
+    def test_hqr_panel(self):
+        A, st = mat_gen(MatGenInfo(500, 200, MatType.exponential,
+                                   cond_num=1e10), RNGState(7))
+        Q, R, J, rank, fail, _ = bqrrp(
+            A, BQRRPConfig(block_size=100, qr_tall=QRTall.hqr), st)
+        _check_qr(A, Q, R, J)
+
+    def test_low_rank(self):
+        A, st = mat_gen(MatGenInfo(500, 300, MatType.exponential,
+                                   cond_num=1e14, rank=300), RNGState(8))
+        Q, R, J, rank, fail, _ = bqrrp(A, BQRRPConfig(block_size=100), st)
+        # effective rank detected well below 300
+        r = int(rank)
+        assert r < 300
+        # rank-r truncation: residual bounded by the optimal rank-r tail
+        s = np.linalg.svd(np.asarray(A), compute_uv=False)
+        tail = np.linalg.norm(s[r:])
+        res = float(jnp.linalg.norm(Q[:, :r] @ R[:r, :] - util.col_swap(A, J)))
+        assert res < 10 * tail + ATOL
+        assert float(util.orthogonality_check(Q[:, :r])) < ATOL * np.sqrt(r) * 10
