@@ -3,6 +3,16 @@ from .orth import Stab, orth, stabilize
 from .rs import RSConfig, rs
 from .rf import RFConfig, rf
 from .qb import QBConfig, qb, qb_blocked
+from .syps import SYPSConfig, syps
+from .syrf import SYRFConfig, syrf
+from .rpchol import RPCholConfig, rp_cholesky
+from .determiter import (PCGConfig, PCGSaddleConfig, pcg, pcg_saddle)
+from .preconditioners import (make_right_orthogonalizer, nystrom_pc_data,
+                              rpc_data_svd_saso, rpchol_pc_data)
 
 __all__ = ["Stab", "orth", "stabilize", "RSConfig", "rs", "RFConfig", "rf",
-           "QBConfig", "qb", "qb_blocked"]
+           "QBConfig", "qb", "qb_blocked", "SYPSConfig", "syps",
+           "SYRFConfig", "syrf", "RPCholConfig", "rp_cholesky",
+           "PCGConfig", "PCGSaddleConfig", "pcg", "pcg_saddle",
+           "make_right_orthogonalizer", "nystrom_pc_data",
+           "rpc_data_svd_saso", "rpchol_pc_data"]

@@ -3,8 +3,14 @@ from .rsvd import RSVDConfig, rsvd, rsvd_fixed_rank
 from .cqrrt import CQRRTConfig, SketchKind, cqrrt
 from .cqrrpt import CQRRPTConfig, QRCPKind, cqrrpt
 from .bqrrp import BQRRPConfig, QRTall, bqrrp
+from .revd2 import REVD2Config, revd2, revd2_fixed_rank
+from .krill import KrillConfig, krill_full_rpchol
+from .spls import SPLSConfig, spls
 
 __all__ = ["RSVDConfig", "rsvd", "rsvd_fixed_rank",
            "CQRRTConfig", "SketchKind", "cqrrt",
            "CQRRPTConfig", "QRCPKind", "cqrrpt",
-           "BQRRPConfig", "QRTall", "bqrrp"]
+           "BQRRPConfig", "QRTall", "bqrrp",
+           "REVD2Config", "revd2", "revd2_fixed_rank",
+           "KrillConfig", "krill_full_rpchol",
+           "SPLSConfig", "spls"]

@@ -1,0 +1,50 @@
+"""Sketch-and-precondition least squares (the reference exposes the pieces
+— rpc_data_svd_saso + pcg_saddle — and tests them end-to-end in
+extras' test_pcgls; this driver is the composed convenience API):
+
+    min_x ‖A x − b‖² + μ‖x‖²  via PCG on (AᵀA + μI) x = Aᵀb,
+    right-preconditioned by M = V_sk diag(1/√(σ_sk² + μ)).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import STABLE_PRECISION
+from ..rng import RNGState
+from ..comps.determiter import PCGSaddleConfig, pcg_saddle
+from ..comps.preconditioners import (make_right_orthogonalizer,
+                                     rpc_data_svd_saso)
+
+
+@dataclasses.dataclass(frozen=True)
+class SPLSConfig:
+    d_factor: float = 4.0         # sketch rows = d_factor * n
+    vec_nnz: int = 8
+    pcg: PCGSaddleConfig = PCGSaddleConfig()
+
+
+def spls(A: jax.Array, b: jax.Array, mu, cfg: SPLSConfig, state: RNGState,
+         precision=STABLE_PRECISION):
+    """Solve the regularized overdetermined least-squares problem.
+
+    Returns ``(x, res_hist, iters, next_state)``.
+    """
+    m, n = A.shape
+    d = int(cfg.d_factor * n)
+    V_sk, sigma_sk, state = rpc_data_svd_saso(A, d, state, cfg.vec_nnz,
+                                              precision)
+    M, _ = make_right_orthogonalizer(V_sk, sigma_sk, mu)
+    x0 = jnp.zeros((n,) + b.shape[1:], A.dtype)
+    c = jnp.zeros_like(x0)
+    if b.ndim == 1:
+        b2, x02, c2 = b[:, None], x0[:, None], c[:, None]
+    else:
+        b2, x02, c2 = b, x0, c
+    x, hist, iters = pcg_saddle(A, b2, c2, mu, M, x02, cfg.pcg, precision)
+    if b.ndim == 1:
+        x = x[:, 0]
+    return x, hist, iters, state
