@@ -38,6 +38,7 @@ class QRCPKind(enum.Enum):
 class CQRRPTConfig:
     d_factor: float = 1.25
     vec_nnz: int = 2
+    sketch: str = "saso"          # "saso" | "srht" | "gaussian"
     qrcp: QRCPKind = QRCPKind.geqp3
     bqrrp_block: int = 128        # block size when qrcp == bqrrp
     eps_rank: float | None = None  # rank-estimate threshold (None → machine)
@@ -57,10 +58,21 @@ def cqrrpt(A: jax.Array, cfg: CQRRPTConfig, state: RNGState,
     m, n = A.shape
     d = int(cfg.d_factor * n)
 
-    # 1. sketch
-    op, state = fill_sparse(SparseDist(d, m, cfg.vec_nnz), state,
-                            dtype=A.dtype)
-    A_sk = saso_left_apply(op, A)
+    # 1. sketch (SASO for reference parity; SRHT rides the MXU and is the
+    # TPU-preferred choice for huge m, SURVEY.md §7)
+    if cfg.sketch == "saso":
+        op, state = fill_sparse(SparseDist(d, m, cfg.vec_nnz), state,
+                                dtype=A.dtype)
+        A_sk = saso_left_apply(op, A)
+    elif cfg.sketch == "srht":
+        from ..sketching import srht_left_apply, srht_skop
+        op, state = srht_skop(d, m, state, dtype=A.dtype)
+        A_sk = srht_left_apply(op, A, precision=precision)
+    else:
+        import math
+        key, state = state.spawn()
+        S = jax.random.normal(key, (d, m), dtype=A.dtype) / math.sqrt(d)
+        A_sk = jnp.matmul(S, A, precision=precision)
 
     # 2. QRCP on the d×n sketch
     if cfg.qrcp == QRCPKind.geqp3:

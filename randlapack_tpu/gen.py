@@ -170,6 +170,24 @@ def mat_gen(info: MatGenInfo, state: RNGState, dtype=jnp.float64):
     return A, state
 
 
+def fast_decay_matrix(m: int, n: int, state: RNGState, dtype=jnp.float32,
+                      decay: float = 6.0, precision=None):
+    """Cheap benchmark matrix with an approximately exponential spectrum:
+    A = (G₁·diag(e^{-decay·i/k}))·G₂ᵀ/√(mk) with iid Gaussian factors — no
+    Haar QR, so generation is one GEMM (needed for 8192²+ bench inputs
+    where gen_singvec's orthogonal factors dominate runtime)."""
+    k = min(m, n)
+    key1, state = state.spawn()
+    key2, state = state.spawn()
+    s = jnp.exp(-decay * jnp.arange(k, dtype=dtype) / k)
+    G1 = jax.random.normal(key1, (m, k), dtype=dtype)
+    G2 = jax.random.normal(key2, (n, k), dtype=dtype)
+    import math
+    A = jnp.matmul(G1 * s[None, :], G2.T,
+                   precision=precision) / math.sqrt(float(m) * k)
+    return A, state
+
+
 def psd_from_eigvals(n: int, eigvals: jax.Array, state: RNGState):
     """Symmetric PSD matrix with prescribed eigenvalues."""
     dtype = eigvals.dtype
