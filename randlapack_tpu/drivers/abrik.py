@@ -1,0 +1,132 @@
+"""ABRIK — block-Krylov truncated SVD (reference:
+RandLAPACK/drivers/rl_abrik.hh: ABRIK::call :122/:146/:165; algorithm
+A.1 variant of arXiv:2306.12418): alternating A·V / Aᵀ·U block Lanczos
+bidiagonalization with full two-pass re-orthogonalization, band matrix of
+QR coefficients, final small SVD of the band factor.
+
+TPU redesign (SURVEY.md §7): the reference's realloc-grown bases become
+preallocated (m, q·b) buffers filled through a lax.fori_loop —
+re-orthogonalizing against not-yet-filled zero columns is a no-op, so the
+whole factorization is one static jitted graph. Termination diagnostics
+(Frobenius capture per iteration) are returned for host-side truncation
+instead of breaking the loop (the reference's ‖R‖_F > √(1−ε²)‖A‖_F test,
+:454/:595).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import STABLE_PRECISION
+from ..rng import RNGState
+from ..ops.qr import qr_econ
+
+
+def _matmat(A, X, precision):
+    if hasattr(A, "matmat"):
+        return A.matmat(X, precision)
+    return jnp.matmul(A, X, precision=precision)
+
+
+def _tmatmat(A, X, precision):
+    if hasattr(A, "tmatmat"):
+        return A.tmatmat(X, precision)
+    return jnp.matmul(A.T, X, precision=precision)
+
+
+@dataclasses.dataclass(frozen=True)
+class ABRIKConfig:
+    block_size: int = 32          # Krylov block width b
+    max_iters: int = 10           # q: Krylov space dimension = q·b
+    reorth_passes: int = 2        # full re-orthogonalization passes
+
+
+@partial(jax.jit, static_argnames=("cfg", "precision"))
+def abrik_factor(A, state: RNGState, cfg: ABRIKConfig,
+                 precision=STABLE_PRECISION):
+    """Block Golub-Kahan bidiagonalization of A (array or linop).
+
+    Returns ``(U, V, B, capture, state)``: U (m, qb), V (n, qb) orthonormal
+    bases, B (qb, qb) upper block-bidiagonal with A·V ≈ U·B, and
+    ``capture`` (q,) the per-iteration Frobenius capture ‖B_{:jb}‖_F —
+    compare against ‖A‖_F to decide truncation (reference's stopping
+    rule).
+    """
+    m = A.shape[0] if hasattr(A, "shape") else A.n_rows
+    n = A.shape[1] if hasattr(A, "shape") else A.n_cols
+    b, q = cfg.block_size, cfg.max_iters
+    K = q * b
+    key, state = state.spawn()
+    dtype = (A.dtype if hasattr(A, "dtype") else jnp.float32)
+
+    # V_1 from a Gaussian block (rl_abrik.hh:272-299)
+    V1raw = jax.random.normal(key, (n, b), dtype=dtype)
+    V1, _ = qr_econ(V1raw)
+    Z1 = _matmat(A, V1, precision)
+    U1, R1 = qr_econ(Z1)
+
+    U = jnp.zeros((m, K), dtype).at[:, :b].set(U1)
+    V = jnp.zeros((n, K), dtype).at[:, :b].set(V1)
+    B = jnp.zeros((K, K), dtype).at[:b, :b].set(R1)
+    capture = jnp.zeros((q,), dtype).at[0].set(jnp.linalg.norm(R1))
+
+    def reorth(W, Basis):
+        for _ in range(cfg.reorth_passes):
+            W = W - jnp.matmul(Basis,
+                               jnp.matmul(Basis.T, W, precision=precision),
+                               precision=precision)
+        return W
+
+    def body(j, carry):
+        U, V, B, capture = carry
+        c = j * b
+        # current blocks U_j, V_j live at columns [(j-1)b, jb)
+        Uj = jax.lax.dynamic_slice(U, (0, (j - 1) * b), (m, b))
+        Vj = jax.lax.dynamic_slice(V, (0, (j - 1) * b), (n, b))
+        Rj = jax.lax.dynamic_slice(B, ((j - 1) * b, (j - 1) * b), (b, b))
+
+        # odd half-step: W = AᵀU_j − V_j R_jᵀ, reorth, QR → V_{j+1}, L
+        W = _tmatmat(A, Uj, precision) - jnp.matmul(Vj, Rj.T,
+                                                    precision=precision)
+        W = reorth(W, V)
+        Vn, L = qr_econ(W)
+
+        # even half-step: Z = A V_{j+1} − U_j Lᵀ, reorth, QR → U_{j+1}, R
+        Z = _matmat(A, Vn, precision) - jnp.matmul(Uj, L.T,
+                                                   precision=precision)
+        Z = reorth(Z, U)
+        Un, Rn = qr_econ(Z)
+
+        U = jax.lax.dynamic_update_slice(U, Un, (0, c))
+        V = jax.lax.dynamic_update_slice(V, Vn, (0, c))
+        # B[j-1, j] block = Lᵀ ; B[j, j] = R
+        B = jax.lax.dynamic_update_slice(B, L.T, ((j - 1) * b, c))
+        B = jax.lax.dynamic_update_slice(B, Rn, (c, c))
+        capture = capture.at[j].set(jnp.linalg.norm(B))
+        return U, V, B, capture
+
+    U, V, B, capture = jax.lax.fori_loop(1, q, body, (U, V, B, capture))
+    return U, V, B, capture, state
+
+
+def abrik(A, k: int, cfg: ABRIKConfig, state: RNGState, tol: float = 0.0,
+          precision=STABLE_PRECISION):
+    """Truncated SVD via block-Krylov bidiagonalization.
+
+    Returns ``(U, S, Vt, info, next_state)`` with the leading k singular
+    triplets; ``info`` holds ``num_krylov_iters`` and the capture history
+    (the reference's ``num_krylov_iters``/``singular_triplets_found``
+    diagnostics, rl_abrik.hh fields).
+    """
+    b, q = cfg.block_size, cfg.max_iters
+    assert k <= q * b, f"need max_iters*block_size >= k ({q*b} < {k})"
+    Ub, Vb, B, capture, state = abrik_factor(A, state, cfg, precision)
+    # small dense SVD of the band factor (rl_abrik.hh:690-701)
+    Us, S, Vst = jnp.linalg.svd(B, full_matrices=False)
+    U = jnp.matmul(Ub, Us[:, :k], precision=precision)
+    V = jnp.matmul(Vb, Vst.T[:, :k], precision=precision)
+    info = {"num_krylov_iters": q, "capture": capture}
+    return U, S[:k], V.T, info, state

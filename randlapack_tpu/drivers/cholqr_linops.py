@@ -1,0 +1,233 @@
+"""Q-less CholQR family over abstract linear operators (reference:
+RandLAPACK/drivers/rl_cholqr_linops.hh :124, rl_cqrrt_linops.hh,
+rl_scholqr3_linops.hh :132/:444).
+
+The reference computes the Gram matrix through operator calls, optionally
+column-blocked to cap peak memory at O(m·b) (rl_cholqr_linops.hh:56-76,
+loop :217-231), then factors without ever materializing Q. Additional
+stabilization passes recompute the Gram of the implicitly preconditioned
+operator A·R⁻¹ with FRESH operator applies — a pure Gram-space cleanup
+(R⁻ᵀGR⁻¹ in floating point) cannot reduce the eps·κ² error, which is why
+the reference also re-applies the operator per pass
+(rl_scholqr3_linops.hh accumulated right factor M = R1⁻¹R2⁻¹…).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import STABLE_PRECISION
+from ..rng import RNGState
+
+
+def blocked_gram(A, block: int | None = None, precision=STABLE_PRECISION):
+    """G = AᵀA with peak memory O(m·block) (None → one-shot)."""
+    n = A.n_cols
+    if block is None or block >= n:
+        cols = A.cols(0, n, precision) if hasattr(A, "cols") else None
+        if cols is not None:
+            return jnp.matmul(cols.T, cols, precision=precision)
+        from ..linops.base import materialize
+        M = materialize(A)
+        return jnp.matmul(M.T, M, precision=precision)
+    b = block
+    assert n % b == 0, "n must be a multiple of the Gram block size"
+    nb = n // b
+    G = jnp.zeros((n, n), A.dtype)
+
+    def outer(j, G):
+        Aj = A.cols(j * b, b, precision)
+
+        def inner(i, G):
+            Ai = A.cols(i * b, b, precision)
+            Gij = jnp.matmul(Ai.T, Aj, precision=precision)
+            G2 = jax.lax.dynamic_update_slice(G, Gij, (i * b, j * b))
+            return jax.lax.dynamic_update_slice(G2, Gij.T, (j * b, i * b))
+
+        G = jax.lax.fori_loop(0, j, inner, G)
+        Gjj = jnp.matmul(Aj.T, Aj, precision=precision)
+        return jax.lax.dynamic_update_slice(G, Gjj, (j * b, j * b))
+
+    return jax.lax.fori_loop(0, nb, outer, G)
+
+
+def blocked_gram_precond(A, R_chain, block: int | None = None,
+                         precision=STABLE_PRECISION):
+    """Gram of the implicitly preconditioned operator A·R₁⁻¹·R₂⁻¹·…, with
+    fresh operator applies per column block (peak memory O(m·block)).
+
+    ``R_chain`` is the tuple of per-pass triangular factors, applied as a
+    CHAIN of solves (innermost last factor first) — solving with the
+    accumulated product would reintroduce the full κ(A) conditioning and
+    cap accuracy at eps·κ; each chain factor is individually
+    well-conditioned (the reference's accumulated right factor M =
+    R1⁻¹R2⁻¹…, rl_scholqr3_linops.hh:36-42, is the same structure)."""
+    n = A.n_cols
+    eye = jnp.eye(n, dtype=A.dtype)
+    if not isinstance(R_chain, (tuple, list)):
+        R_chain = (R_chain,)
+
+    def pre_cols(start, size):
+        X = jax.lax.dynamic_slice(eye, (0, start), (n, size))
+        for Rk in reversed(R_chain):
+            X = jax.lax.linalg.triangular_solve(Rk, X, left_side=True,
+                                                lower=False)
+        return A.matmat(X, precision)
+
+    if block is None or block >= n:
+        Y = pre_cols(0, n)
+        return jnp.matmul(Y.T, Y, precision=precision)
+    b = block
+    assert n % b == 0
+    nb = n // b
+    G = jnp.zeros((n, n), A.dtype)
+
+    def outer(j, G):
+        Yj = pre_cols(j * b, b)
+
+        def inner(i, G):
+            Yi = pre_cols(i * b, b)
+            Gij = jnp.matmul(Yi.T, Yj, precision=precision)
+            G2 = jax.lax.dynamic_update_slice(G, Gij, (i * b, j * b))
+            return jax.lax.dynamic_update_slice(G2, Gij.T, (j * b, i * b))
+
+        G = jax.lax.fori_loop(0, j, inner, G)
+        Gjj = jnp.matmul(Yj.T, Yj, precision=precision)
+        return jax.lax.dynamic_update_slice(G, Gjj, (j * b, j * b))
+
+    return jax.lax.fori_loop(0, nb, outer, G)
+
+
+@dataclasses.dataclass(frozen=True)
+class CholQRLinopsConfig:
+    gram_block: int | None = None  # column-block size (None = one shot)
+    passes: int = 1                # CholQR passes on the Gram matrix
+
+
+@partial(jax.jit, static_argnames=("cfg", "precision"))
+def cholqr_linops(A, cfg: CholQRLinopsConfig = CholQRLinopsConfig(),
+                  precision=STABLE_PRECISION):
+    """Q-less CholQR of a LinearOperator. Returns ``(R, fail)`` with
+    AᵀA = RᵀR; Q = A·R⁻¹ is implicit (use ``apply_qt``/materialize in
+    test mode, mirroring rl_cholqr_linops.hh:259-286)."""
+    G = blocked_gram(A, cfg.gram_block, precision)
+    L = jax.lax.linalg.cholesky(G)
+    fail = jnp.any(jnp.isnan(L))
+    chain = (L.T,)
+    R = L.T
+    for _ in range(cfg.passes - 1):
+        # extra pass: fresh Gram of the chain-preconditioned operator
+        G2 = blocked_gram_precond(A, chain, cfg.gram_block, precision)
+        L2 = jax.lax.linalg.cholesky(0.5 * (G2 + G2.T))
+        fail = fail | jnp.any(jnp.isnan(L2))
+        chain = chain + (L2.T,)
+        R = jnp.matmul(L2.T, R, precision=precision)
+    return R, fail, chain
+
+
+@partial(jax.jit, static_argnames=("cfg", "precision"))
+def scholqr3_linops(A, cfg: CholQRLinopsConfig = CholQRLinopsConfig(),
+                    precision=STABLE_PRECISION):
+    """Shifted CholQR3 through operator calls only (rl_scholqr3_linops.hh):
+    one pass over A, shift s = 11·eps·n·‖A‖_F², two cleanup passes in Gram
+    space. Returns ``(R, fail)``."""
+    n = A.n_cols
+    G = blocked_gram(A, cfg.gram_block, precision)
+    eps = jnp.finfo(G.dtype).eps
+    s = 11.0 * eps * n * jnp.trace(G)     # trace(G) = ‖A‖_F²
+    L1 = jax.lax.linalg.cholesky(G + s * jnp.eye(n, dtype=G.dtype))
+    fail = jnp.any(jnp.isnan(L1))
+    chain = (L1.T,)
+    R = L1.T
+    for _ in range(2):
+        # fresh Gram of the chain-preconditioned operator per cleanup pass.
+        # Every pass is shifted: at large m the Gram's accumulation error
+        # (~√m·eps) can exceed the preconditioned min-eigenvalue and turn
+        # G2 numerically indefinite (observed on TPU at m=65536 in f32) —
+        # the trace-relative shift keeps Cholesky alive at the cost of a
+        # per-pass O(eps·n) orthogonality floor.
+        G2 = blocked_gram_precond(A, chain, cfg.gram_block, precision)
+        G2 = 0.5 * (G2 + G2.T)
+        # try unshifted first (no orthogonality pollution); if the
+        # preconditioned Gram is numerically indefinite (κ(A)²·eps ≳ 1 —
+        # beyond this method's precision regime) rescue with a shift and
+        # raise the breakdown flag.
+        L2u = jax.lax.linalg.cholesky(G2)
+        bad = jnp.any(jnp.isnan(L2u))
+        s2 = 11.0 * eps * jnp.trace(G2)
+        L2s = jax.lax.linalg.cholesky(G2 + s2 * jnp.eye(n, dtype=G2.dtype))
+        L2 = jnp.where(bad, L2s, L2u)
+        fail = fail | bad
+        chain = chain + (L2.T,)
+        R = jnp.matmul(L2.T, R, precision=precision)
+    return R, fail, chain
+
+
+@dataclasses.dataclass(frozen=True)
+class CQRRTLinopsConfig:
+    d_factor: float = 1.25
+    gram_block: int | None = None
+
+
+@partial(jax.jit, static_argnames=("cfg", "precision"))
+def cqrrt_linops(A, cfg: CQRRTLinopsConfig, state: RNGState,
+                 precision=STABLE_PRECISION):
+    """Q-less CQRRT over an operator (rl_cqrrt_linops.hh): dense-sketch the
+    operator through tmatmat, QR the sketch → R_sk, then a single Gram pass
+    preconditioned in Gram space. Returns ``(R, fail, next_state)``."""
+    import math
+    m, n = A.n_rows, A.n_cols
+    d = int(cfg.d_factor * n)
+    key, state = state.spawn()
+    S_t = jax.random.normal(key, (m, d), dtype=A.dtype) / math.sqrt(d)
+    A_sk = A.tmatmat(S_t, precision).T          # (d, n) = S·A
+    _, R_sk = jax.lax.linalg.qr(A_sk, full_matrices=False)
+    eps = jnp.finfo(A_sk.dtype).eps
+    dg = jnp.diag(R_sk)
+    ref = jnp.max(jnp.abs(dg)) * eps + eps
+    R_sk = R_sk - jnp.diag(dg) + jnp.diag(jnp.where(jnp.abs(dg) > ref, dg,
+                                                    ref))
+    # Gram of the preconditioned operator with FRESH applies (a Gram-space
+    # solve R⁻ᵀGR⁻¹ would cap accuracy at eps·κ(A))
+    Gp = blocked_gram_precond(A, (R_sk,), cfg.gram_block, precision)
+    L = jax.lax.linalg.cholesky(0.5 * (Gp + Gp.T))
+    fail = jnp.any(jnp.isnan(L))
+    chain = (R_sk, L.T)
+    R = jnp.matmul(L.T, R_sk, precision=precision)
+    return R, fail, chain, state
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def scholqr3_linops_basic(A, precision=STABLE_PRECISION):
+    """Shifted CholQR3 that materializes the working factor after the first
+    (shifted) pass — the reference's ``sCholQR3_linops_basic``
+    (rl_scholqr3_linops.hh:444). O(m·n) memory but eps-grade orthogonality
+    at any cond(A): the Q-less blocked variant is limited to ~eps·κ(R₁)
+    because re-deriving A·R₁⁻¹R₂⁻¹ from A re-amplifies rounding error.
+
+    Returns ``(Q, R, fail)`` with Q explicit.
+    """
+    from ..linops.base import materialize
+    from ..ops.cholqr import shifted_cholqr3
+    M = materialize(A)
+    return shifted_cholqr3(M, precision)
+
+
+def materialize_q(A, R_or_chain, precision=STABLE_PRECISION):
+    """Test-mode Q = A·R₁⁻¹·R₂⁻¹·… (rl_cholqr_linops.hh:259-286).
+
+    Pass the per-pass factor CHAIN (returned by the drivers) rather than
+    the accumulated R: a single solve against the accumulated product has
+    κ(A) conditioning and caps the materialized Q's orthogonality at
+    eps·κ even when the implicit factorization is eps-accurate."""
+    from ..linops.base import materialize
+    M = materialize(A)
+    chain = (R_or_chain if isinstance(R_or_chain, (tuple, list))
+             else (R_or_chain,))
+    for Rk in chain:
+        M = jax.lax.linalg.triangular_solve(Rk, M, left_side=False,
+                                            lower=False)
+    return M

@@ -64,3 +64,7 @@ class CompositeLinOp:
 
     def col_block(self, start: int, stop: int):
         return CompositeLinOp(self.op1, self.op2.col_block(start, stop))
+
+    def cols(self, start, size: int, precision=STABLE_PRECISION):
+        return self.op1.matmat(self.op2.cols(start, size, precision),
+                               precision)

@@ -56,5 +56,11 @@ class DenseLinOp:
     def col_block(self, start: int, stop: int):
         return DenseLinOp(self.mat[:, start:stop])
 
+    def cols(self, start, size: int, precision=STABLE_PRECISION):
+        """Materialize ``size`` columns from (traced) ``start`` — the
+        dynamic block access the column-blocked Gram loops need."""
+        return jax.lax.dynamic_slice(self.mat, (0, start),
+                                     (self.mat.shape[0], size))
+
     def T(self):
         return DenseLinOp(self.mat.T)

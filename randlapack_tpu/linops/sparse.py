@@ -62,6 +62,13 @@ class SparseLinOp:
     def to_dense(self):
         return self.A.todense()
 
+    def cols(self, start, size: int, precision=None):
+        """Materialize ``size`` columns from (traced) ``start`` via a
+        one-hot selector (spmm keeps it sparse-friendly)."""
+        sel = (jnp.arange(self.n_cols)[:, None]
+               == (start + jnp.arange(size))[None, :]).astype(self.dtype)
+        return self.A @ sel
+
     # views: BCOO slicing keeps nse static by masking out-of-range entries
     def row_block(self, start: int, stop: int):
         rows = self.A.indices[:, 0]

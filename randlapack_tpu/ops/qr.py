@@ -43,9 +43,9 @@ def _larfg(x: jax.Array, i):
     return v, tau.astype(x.dtype), alpha.astype(x.dtype)
 
 
-@partial(jax.jit, static_argnames=("k", "want_q", "precision"))
+@partial(jax.jit, static_argnames=("k", "want_q", "pivot", "precision"))
 def geqp3(A: jax.Array, k: int | None = None, want_q: bool = True,
-          precision=STABLE_PRECISION):
+          pivot: bool = True, precision=STABLE_PRECISION):
     """Column-pivoted Householder QR (GEQP3 capability).
 
     Sequential over (at most) k columns with greedy max-norm pivoting and
@@ -70,15 +70,16 @@ def geqp3(A: jax.Array, k: int | None = None, want_q: bool = True,
 
     def step(i, carry):
         Awork, V, taus, J, cn2 = carry
-        # 1. pivot selection on downdated squared norms
-        masked = jnp.where(jnp.arange(n) >= i, cn2, -jnp.inf)
-        p = jnp.argmax(masked)
-        # 2. swap columns i <-> p (gather-free swap via where)
         cols = jnp.arange(n)
-        perm = jnp.where(cols == i, p, jnp.where(cols == p, i, cols))
-        Awork = jnp.take(Awork, perm, axis=1)
-        J = jnp.take(J, perm)
-        cn2 = jnp.take(cn2, perm)
+        if pivot:
+            # 1. pivot selection on downdated squared norms
+            masked = jnp.where(cols >= i, cn2, -jnp.inf)
+            p = jnp.argmax(masked)
+            # 2. swap columns i <-> p (gather-free swap via where)
+            perm = jnp.where(cols == i, p, jnp.where(cols == p, i, cols))
+            Awork = jnp.take(Awork, perm, axis=1)
+            J = jnp.take(J, perm)
+            cn2 = jnp.take(cn2, perm)
         # 3. reflector for column i
         v, tau, alpha = _larfg(Awork[:, i], i)
         # 4. apply H = I − tau v vᵀ to columns ≥ i
