@@ -1,0 +1,56 @@
+"""ABRIK vs RSVD speed/accuracy comparison (reference:
+benchmark/bench_ABRIK/ABRIK_speed_comparisons[_sparse].cc — ABRIK vs RSVD
+vs Spectra SVDS).
+
+Usage: python benchmarks/abrik_speed.py [m n k]
+"""
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+from randlapack_tpu import RNGState
+from randlapack_tpu.comps import QBConfig
+from randlapack_tpu.drivers import (ABRIKConfig, RSVDConfig, abrik,
+                                    rsvd_fixed_rank)
+from randlapack_tpu.gen import fast_decay_matrix
+from randlapack_tpu.utils import device_sync
+
+
+def main():
+    m = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    A, st = fast_decay_matrix(m, n, RNGState(0), decay=12.0)
+    hp = jax.lax.Precision.HIGHEST
+    from randlapack_tpu.ops.svd import svd_econ
+    s_ref = svd_econ(A)[1][:k]
+
+    acfg = ABRIKConfig(block_size=k, max_iters=4)
+    out = abrik(A, k, acfg, st)
+    device_sync(out[1])
+    t0 = time.perf_counter()
+    U, S, Vt, info, _ = abrik(A, k, acfg, RNGState(1))
+    device_sync(S)
+    t_ab = time.perf_counter() - t0
+    err_ab = float(jnp.max(jnp.abs(S - s_ref) / s_ref))
+
+    rcfg = RSVDConfig(QBConfig(block_size=k))
+    out = rsvd_fixed_rank(A, k, rcfg, st)
+    device_sync(out[1])
+    t0 = time.perf_counter()
+    U2, S2, Vt2, errq, _ = rsvd_fixed_rank(A, k, rcfg, RNGState(2))
+    device_sync(S2)
+    t_rs = time.perf_counter() - t0
+    err_rs = float(jnp.max(jnp.abs(S2[:k] - s_ref) / s_ref))
+
+    print(f"{m}x{n} k={k}")
+    print(f"  ABRIK: {t_ab:7.3f}s  max sigma rel err {err_ab:.2e}")
+    print(f"  RSVD : {t_rs:7.3f}s  max sigma rel err {err_rs:.2e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -14,11 +14,13 @@ from ..config import STABLE_PRECISION
 from ..rng import RNGState
 from ..sketching import SparseDist, fill_sparse, saso_left_apply
 from .rpchol import RPCholConfig, rp_cholesky
+from ..ops.svd import svd_econ
 
 
-@partial(jax.jit, static_argnames=("d", "vec_nnz", "precision"))
+@partial(jax.jit, static_argnames=("d", "vec_nnz", "svd_method", "precision"))
 def rpc_data_svd_saso(A: jax.Array, d: int, state: RNGState,
-                      vec_nnz: int = 8, precision=STABLE_PRECISION):
+                      vec_nnz: int = 8, svd_method: str = "auto",
+                      precision=STABLE_PRECISION):
     """Sketch A (m×n, m≫n) with a d×m SASO and SVD the sketch —
     the data for a right preconditioner of the normal equations
     (reference: rpc_data_svd_saso :136 → rpc_data_svd :30).
@@ -29,7 +31,7 @@ def rpc_data_svd_saso(A: jax.Array, d: int, state: RNGState,
     m, n = A.shape
     op, state = fill_sparse(SparseDist(d, m, vec_nnz), state, dtype=A.dtype)
     A_sk = saso_left_apply(op, A)
-    _, sigma, Vt = jnp.linalg.svd(A_sk, full_matrices=False)
+    _, sigma, Vt = svd_econ(A_sk, svd_method, precision)
     return Vt.T, sigma, state
 
 
@@ -65,7 +67,7 @@ def nystrom_pc_data(A, k: int, state: RNGState, mus,
 
 
 def rpchol_pc_data(A, k: int, state: RNGState, block_size: int = 64,
-                   precision=STABLE_PRECISION):
+                   svd_method: str = "auto", precision=STABLE_PRECISION):
     """RPCholesky-based preconditioner data (reference :348): rank-k
     pivoted-Cholesky factor F, then thin SVD so A ≈ V diag(λ) Vᵀ with
     λ = σ(F)².
@@ -77,5 +79,5 @@ def rpchol_pc_data(A, k: int, state: RNGState, block_size: int = 64,
     """
     F, piv, state = rp_cholesky(A, k, RPCholConfig(block_size=block_size),
                                 state, precision)
-    V, sig, _ = jnp.linalg.svd(F, full_matrices=False)
+    V, sig, _ = svd_econ(F, svd_method, precision)
     return V, sig * sig, piv, state

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from ..config import STABLE_PRECISION
 from ..rng import RNGState
 from ..ops.qr import qr_econ
+from ..ops.svd import svd_econ
 
 
 def _matmat(A, X, precision):
@@ -42,6 +43,7 @@ class ABRIKConfig:
     block_size: int = 32          # Krylov block width b
     max_iters: int = 10           # q: Krylov space dimension = q·b
     reorth_passes: int = 2        # full re-orthogonalization passes
+    svd_method: str = "auto"      # band-factor SVD (see ops.svd.svd_econ)
 
 
 @partial(jax.jit, static_argnames=("cfg", "precision"))
@@ -125,7 +127,7 @@ def abrik(A, k: int, cfg: ABRIKConfig, state: RNGState, tol: float = 0.0,
     assert k <= q * b, f"need max_iters*block_size >= k ({q*b} < {k})"
     Ub, Vb, B, capture, state = abrik_factor(A, state, cfg, precision)
     # small dense SVD of the band factor (rl_abrik.hh:690-701)
-    Us, S, Vst = jnp.linalg.svd(B, full_matrices=False)
+    Us, S, Vst = svd_econ(B, cfg.svd_method, precision)
     U = jnp.matmul(Ub, Us[:, :k], precision=precision)
     V = jnp.matmul(Vb, Vst.T[:, :k], precision=precision)
     info = {"num_krylov_iters": q, "capture": capture}

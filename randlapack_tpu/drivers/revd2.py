@@ -20,12 +20,14 @@ from ..config import STABLE_PRECISION
 from ..rng import RNGState
 from ..comps.syrf import SYRFConfig, syrf
 from ..comps.syps import _apply_sym
+from ..ops.svd import svd_econ
 
 
 @dataclasses.dataclass(frozen=True)
 class REVD2Config:
     syrf: SYRFConfig = SYRFConfig()
     error_est_passes: int = 10    # power-iteration steps for the error est
+    svd_method: str = "auto"      # see ops.svd.svd_econ
 
 
 def _power_error_est(A, V, lam, passes, state: RNGState, precision):
@@ -72,7 +74,7 @@ def revd2_fixed_rank(A, k: int, cfg: REVD2Config, state: RNGState,
     # B = Y·C⁻ᵀ (C lower): solve B Cᵀ = Y
     B = jax.lax.linalg.triangular_solve(C, Y, left_side=False, lower=True,
                                         transpose_a=True)
-    V, S, _ = jnp.linalg.svd(B, full_matrices=False)
+    V, S, _ = svd_econ(B, cfg.svd_method, precision)
     lam = jnp.maximum(S * S - nu, 0.0)
     err, state = _power_error_est(A, V, lam, cfg.error_est_passes, state,
                                   precision)

@@ -14,11 +14,13 @@ from ..config import STABLE_PRECISION
 from ..errors import require
 from ..rng import RNGState
 from ..comps.qb import QBConfig, qb, qb_blocked
+from ..ops.svd import svd_econ
 
 
 @dataclasses.dataclass(frozen=True)
 class RSVDConfig:
     qb: QBConfig = QBConfig()
+    svd_method: str = "auto"      # see ops.svd.svd_econ
 
 
 @partial(jax.jit, static_argnames=("k", "cfg", "precision"))
@@ -31,7 +33,7 @@ def rsvd_fixed_rank(A: jax.Array, k: int, cfg: RSVDConfig, state: RNGState,
     """
     Q, B, errs, state = qb_blocked(A, k, cfg.qb, state, precision)
     # SVD of the small k×n factor; U = Q·Û
-    Ub, S, Vt = jnp.linalg.svd(B, full_matrices=False)
+    Ub, S, Vt = svd_econ(B, cfg.svd_method, precision)
     U = jnp.matmul(Q, Ub, precision=precision)
     return U, S, Vt, errs[-1], state
 
@@ -46,6 +48,6 @@ def rsvd(A: jax.Array, k: int, cfg: RSVDConfig, state: RNGState,
     m, n = A.shape
     require(0 < k <= min(m, n), "target rank out of range")
     Q, B, rank, err, state = qb(A, k, cfg.qb, state, tol, precision)
-    Ub, S, Vt = jnp.linalg.svd(B, full_matrices=False)
+    Ub, S, Vt = svd_econ(B, cfg.svd_method, precision)
     U = jnp.matmul(Q, Ub, precision=precision)
     return U, S, Vt, rank, err, state

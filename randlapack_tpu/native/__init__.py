@@ -1,0 +1,13 @@
+"""Native (C++) runtime helpers. Build with ``native/build.sh``; every
+consumer falls back to pure-Python/scipy paths when the extension is
+absent, so the package works unbuilt."""
+try:
+    from ._randlapack_native import fast_mm_read  # noqa: F401
+    HAVE_NATIVE = True
+except ImportError:  # extension not built
+    HAVE_NATIVE = False
+
+    def fast_mm_read(path):  # noqa: D103
+        raise ImportError("native extension not built; run native/build.sh")
+
+__all__ = ["fast_mm_read", "HAVE_NATIVE"]

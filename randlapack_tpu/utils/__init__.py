@@ -1,0 +1,8 @@
+"""Auxiliary subsystems: phase timing, profiling, memory tracking."""
+from .timing import PhaseTimer, device_sync, profile_trace
+from .memory import (PeakRSSTracker, analytical_peak_bytes,
+                     device_memory_stats)
+
+__all__ = ["PhaseTimer", "device_sync", "profile_trace",
+           "PeakRSSTracker", "analytical_peak_bytes",
+           "device_memory_stats"]
