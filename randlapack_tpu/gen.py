@@ -188,6 +188,33 @@ def fast_decay_matrix(m: int, n: int, state: RNGState, dtype=jnp.float32,
     return A, state
 
 
+def gen_sparse_coo(m: int, n: int, nnz: int, state: RNGState,
+                   dtype=jnp.float64):
+    """Random sparse COO matrix (rl_gen.hh:538). Returns
+    ``((rows, cols, vals), next_state)`` with iid positions/values
+    (duplicates possible, as in the reference's generator)."""
+    k1, state = state.spawn()
+    k2, state = state.spawn()
+    k3, state = state.spawn()
+    rows = jax.random.randint(k1, (nnz,), 0, m, dtype=jnp.int32)
+    cols = jax.random.randint(k2, (nnz,), 0, n, dtype=jnp.int32)
+    vals = jax.random.normal(k3, (nnz,), dtype=dtype)
+    return (rows, cols, vals), state
+
+
+def gen_sparse_from_singvals(m: int, n: int, singvals: jax.Array,
+                             density: float, state: RNGState):
+    """Tall sparse matrix with (approximately) prescribed spectrum
+    (rl_gen.hh:614): dense spectrum-shaped core masked to the target
+    density and rescaled. Returns ``(A_dense_masked, next_state)`` —
+    convert with SparseLinOp.from_dense for operator use."""
+    A, state = gen_singvec(m, n, singvals, state)
+    key, state = state.spawn()
+    mask = jax.random.uniform(key, (m, n)) < density
+    import math
+    return A * mask.astype(A.dtype) / math.sqrt(density), state
+
+
 def psd_from_eigvals(n: int, eigvals: jax.Array, state: RNGState):
     """Symmetric PSD matrix with prescribed eigenvalues."""
     dtype = eigvals.dtype

@@ -123,8 +123,22 @@ class SquaredExpKernelLinOp:
 
     def matmat(self, V: jax.Array, precision=STABLE_PRECISION):
         """K V (+ per-column μ V), evaluated in column blocks of K so the
-        n×n kernel matrix never fully materializes."""
+        n×n kernel matrix never fully materializes. On TPU with aligned
+        shapes this dispatches to the fused Pallas kernel (K tiles live
+        only in VMEM — no HBM slab at all)."""
         n = self.dim
+        from .ops.pallas_kernels import _on_tpu, kernel_matmat
+        if _on_tpu() and n % 256 == 0 and self.X.shape[0] <= 64:
+            s = V.shape[1]
+            s_pad = -(-s // 128) * 128
+            Vp = V if s == s_pad else jnp.pad(V, ((0, 0), (0, s_pad - s)))
+            out = kernel_matmat(self.X, Vp, self.bandwidth)[:, :s]
+            if self.evals_include_reg:
+                if self.num_ops == 1:
+                    out = out + self.mus[0] * V
+                else:
+                    out = out + V * self.mus[None, :]
+            return out
         b = min(self.block, n)
         nblocks = -(-n // b)
         out = jnp.zeros_like(V)

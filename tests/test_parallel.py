@@ -1,0 +1,91 @@
+"""Multi-chip SPMD layer tests on the 8-device virtual CPU mesh
+(SURVEY.md §5.8: the sharded growth path is a NEW design — these validate
+that collectives produce bitwise-sensible numerics vs single-device)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from randlapack_tpu import RNGState
+from randlapack_tpu.gen import MatGenInfo, MatType, mat_gen
+from randlapack_tpu.ops import util
+from randlapack_tpu.parallel import (dist_cholqr, dist_gram,
+                                     dist_rangefinder_step,
+                                     dist_shifted_cholqr3, dist_sketch_left,
+                                     make_mesh, row_sharded)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def A_sharded(mesh):
+    A, _ = mat_gen(MatGenInfo(640, 48, MatType.exponential, cond_num=1e4),
+                   RNGState(0))
+    return jax.device_put(A, row_sharded(mesh)), A
+
+
+class TestDistOps:
+    def test_gram(self, mesh, A_sharded):
+        As, A = A_sharded
+        G = dist_gram(As, mesh)
+        np.testing.assert_allclose(np.asarray(G), np.asarray(A.T @ A),
+                                   rtol=1e-10)
+
+    def test_cholqr(self, mesh, A_sharded):
+        As, A = A_sharded
+        Q, R, fail = dist_cholqr(As, mesh)
+        assert not bool(fail)
+        Qh = np.asarray(Q)
+        assert np.linalg.norm(Qh.T @ Qh - np.eye(48)) < 1e-12
+        np.testing.assert_allclose(Qh @ np.asarray(R), np.asarray(A),
+                                   atol=1e-10)
+
+    def test_scholqr3_illcond(self, mesh):
+        A, _ = mat_gen(MatGenInfo(640, 48, MatType.exponential,
+                                  cond_num=1e11), RNGState(1))
+        As = jax.device_put(A, row_sharded(mesh))
+        Q, R, fail = dist_shifted_cholqr3(As, mesh)
+        assert not bool(fail)
+        Qh = np.asarray(Q)
+        assert np.linalg.norm(Qh.T @ Qh - np.eye(48)) < 1e-11
+
+    def test_sketch_left(self, mesh, A_sharded):
+        As, A = A_sharded
+        S = jax.random.normal(jax.random.key(2), (32, 640), jnp.float64)
+        Ss = jax.device_put(S, NamedSharding(mesh, P(None, "rows")))
+        got = dist_sketch_left(Ss, As, mesh)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(S @ A),
+                                   rtol=1e-10)
+
+    def test_rangefinder_step(self, mesh, A_sharded):
+        As, A = A_sharded
+        Om = jax.random.normal(jax.random.key(3), (48, 16), jnp.float64)
+        Oms = jax.device_put(Om, NamedSharding(mesh, P()))
+        Q, B, Om2, fail = dist_rangefinder_step(As, Oms, mesh)
+        assert not bool(fail)
+        Qh = np.asarray(Q)
+        assert np.linalg.norm(Qh.T @ Qh - np.eye(16)) < 1e-12
+        # B = QᵀA
+        np.testing.assert_allclose(np.asarray(B), Qh.T @ np.asarray(A),
+                                   atol=1e-10)
+        # rank-16 capture error matches the single-device computation
+        res = np.linalg.norm(np.asarray(A) - Qh @ np.asarray(B))
+        s = np.linalg.svd(np.asarray(A), compute_uv=False)
+        assert res < 3 * np.linalg.norm(s[16:])
+
+    def test_jit_end_to_end(self, mesh, A_sharded):
+        As, A = A_sharded
+
+        @jax.jit
+        def step(a):
+            Q, R, fail = dist_cholqr(a, mesh)
+            return jnp.linalg.norm(Q.T @ Q - jnp.eye(48, dtype=a.dtype))
+
+        assert float(step(As)) < 1e-12
