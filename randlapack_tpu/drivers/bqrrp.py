@@ -53,6 +53,12 @@ class BQRRPConfig:
     block_reorth: bool = True     # BCGS2: re-project panel against Q
                                   # (Householder-grade orthogonality; ~+50%
                                   # FLOPs — turn off for max throughput)
+    final_orth: int = 1           # CholQR passes on the finished Q (each
+                                  # ~2·m·K² FLOPs): the factorization
+                                  # QR = A[:,J] is exact under GS drift, so
+                                  # a final pass on the near-orthonormal Q
+                                  # recovers machine-grade orthogonality
+                                  # far cheaper than per-block re-orth
 
 
 def _safe_triu_diag(R, dtype):
@@ -167,6 +173,11 @@ def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
 
     carry = (A, A_sk0, Q0, R0, J0, jnp.asarray(False))
     _, _, Q, R, J, fail = jax.lax.fori_loop(0, nblocks, block, carry)
+
+    for _ in range(cfg.final_orth):
+        Q, R2, f2 = cholqr(Q, precision)
+        R = jnp.matmul(R2, R, precision=precision)
+        fail = fail | f2
 
     diag = jnp.diag(R[:, :K])
     eps = jnp.finfo(dtype).eps
