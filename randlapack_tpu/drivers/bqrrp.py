@@ -8,19 +8,23 @@ via LU pivots (``luqr``), pivot the trailing matrix, tall QR of the panel
 and *downdate* the sketch instead of re-sketching (:630-650).
 
 TPU redesign:
-  * Explicit-Q accumulation — the panel bases are orthogonal by
-    construction (each panel is orthogonalized against the running Q via
-    the trailing update), so Q = [Q₁ | Q₂ | …] directly; no Householder
-    tau/orhr_col machinery (SURVEY.md §7 recommends explicit-Q primary).
-  * One jitted lax.fori_loop over blocks; all shapes static. Column
-    retirement is positional: a per-block permutation (built by argsort of
-    a composite key) moves the b chosen pivots into place and is applied to
+  * Explicit-Q accumulation — the panel bases are orthogonalized against
+    the running Q by the trailing update (+ optional BCGS2 pass), so
+    Q = [Q₁ | Q₂ | …] directly; no Householder tau/orhr_col machinery
+    (SURVEY.md §7 recommends explicit-Q primary). A cheap final CholQR
+    pass on the finished Q restores machine-grade orthogonality.
+  * Static shapes: one jitted lax.fori_loop over blocks. Column
+    retirement is positional — a per-block permutation (argsort of a
+    composite key) moves the b chosen pivots into place and is applied to
     A, the sketch, R's columns, and J together.
-  * Trailing updates run full-width with masks (≤2× FLOP overhead vs
-    shrinking widths, but zero recompilation and perfect MXU shapes).
+  * ``stages > 1`` splits the column space into S statically-shrinking
+    windows (a host loop of S jitted stage graphs): trailing updates and
+    sketch downdates then run at the window width instead of full n,
+    recovering most of the ≤2× full-width FLOP overhead at the cost of S
+    compilations.
   * Sketch downdate uses S·Q_panel = A_sk_panel·R₁₁⁻¹ (exact in exact
-    arithmetic since Q_panel = A_panel·R₁₁⁻¹), one triangular solve + one
-    rank-b GEMM — same math as the reference's trsm+gemm downdate.
+    arithmetic since Q_panel = A_panel·R₁₁⁻¹): one triangular solve + one
+    rank-b GEMM — the same math as the reference's trsm+gemm downdate.
 """
 from __future__ import annotations
 
@@ -51,14 +55,14 @@ class BQRRPConfig:
     qr_tall: QRTall = QRTall.cholqr
     panel_reorth: bool = True     # second CholQR pass on each panel
     block_reorth: bool = True     # BCGS2: re-project panel against Q
-                                  # (Householder-grade orthogonality; ~+50%
-                                  # FLOPs — turn off for max throughput)
+                                  # (controls GS drift; ~+50% FLOPs)
     final_orth: int = 1           # CholQR passes on the finished Q (each
-                                  # ~2·m·K² FLOPs): the factorization
-                                  # QR = A[:,J] is exact under GS drift, so
-                                  # a final pass on the near-orthonormal Q
-                                  # recovers machine-grade orthogonality
-                                  # far cheaper than per-block re-orth
+                                  # ~2·m·K² FLOPs): QR = A[:,J] is exact
+                                  # under GS drift, so one pass on the
+                                  # near-orthonormal Q recovers machine-
+                                  # grade orthogonality cheaply
+    stages: int = 1               # shrinking-width stages (tall/square
+                                  # only; 1 = single full-width graph)
 
 
 def _safe_triu_diag(R, dtype):
@@ -72,51 +76,36 @@ def _safe_triu_diag(R, dtype):
     return R - jnp.diag(d) + jnp.diag(dsafe)
 
 
-@partial(jax.jit, static_argnames=("cfg", "precision"))
-def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
-          precision=STABLE_PRECISION):
-    """Blocked randomized QRCP of A (any aspect ratio): A[:, J] ≈ Q R.
-
-    Returns ``(Q, R, J, rank, fail, next_state)``:
-      Q (m, K) orthonormal, R (K, n) upper-trapezoidal, J (n,) int32,
-      K = min(m, n) (must be a multiple of ``cfg.block_size``),
-      ``rank`` an int32 upper-bound estimate from diag(R) (the reference's
-      field ``rank``, rl_bqrrp.hh:132-134), ``fail`` CholQR breakdown flag.
-    """
-    m, n = A.shape
+@partial(jax.jit, static_argnames=("cfg", "g0", "q_hi", "nblocks",
+                                   "precision"))
+def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
+           g0: int, q_hi: int, nblocks: int, precision):
+    """Process ``nblocks`` panel blocks inside the column window starting
+    at global column ``g0``. All arrays local to the window except Q
+    (full, filled through column g0+nblocks·b ≤ q_hi) and R_loc (K rows ×
+    window columns)."""
+    m = A_loc.shape[0]
+    w = A_loc.shape[1]
+    d = A_sk_loc.shape[0]
     b = cfg.block_size
-    K = min(m, n)
-    assert K % b == 0, f"min(m,n)={K} must be a multiple of block_size={b}"
-    nblocks = K // b
-    d = int(cfg.d_factor * b)
-    dtype = A.dtype
-
-    # one-time sketch (rl_bqrrp.hh:306-312)
-    key, state = state.spawn()
-    S = jax.random.normal(key, (d, m), dtype=dtype) / math.sqrt(d)
-    A_sk0 = jnp.matmul(S, A, precision=precision)
-
-    Q0 = jnp.zeros((m, K), dtype)
-    R0 = jnp.zeros((K, n), dtype)
-    J0 = jnp.arange(n, dtype=jnp.int32)
-    cols = jnp.arange(n)
+    dtype = A_loc.dtype
+    cols = jnp.arange(w)
+    Qp = Q[:, :q_hi]
 
     def block(i, carry):
-        A_work, A_sk, Q, R, J, fail = carry
-        c = i * b
+        A_work, A_sk, Qp, R, J, fail = carry
+        c = i * b              # local offset; global = g0 + c
 
-        # -- qrcp_wide: LU-based pivot selection on the live sketch ------
+        # -- qrcp_wide: LU pivots on the live sketch window --------------
         active = cols >= c
         A_sk_m = A_sk * active[None, :].astype(dtype)
-        _, _, perm_lu = jax.lax.linalg.lu(A_sk_m.T)   # (n,) row perm of A_skᵀ
+        _, _, perm_lu = jax.lax.linalg.lu(A_sk_m.T)
         chosen = perm_lu[:b]
-        # composite sort key: retired cols stay; chosen move to the panel
-        # in LU order; the rest keep relative order.
-        pos = jnp.zeros((n,), jnp.int32).at[chosen].set(
+        pos = jnp.zeros((w,), jnp.int32).at[chosen].set(
             jnp.arange(b, dtype=jnp.int32))
-        is_chosen = jnp.zeros((n,), bool).at[chosen].set(True)
+        is_chosen = jnp.zeros((w,), bool).at[chosen].set(True)
         key_ = jnp.where(cols < c, cols,
-                         jnp.where(is_chosen, n + pos, 2 * n + cols))
+                         jnp.where(is_chosen, w + pos, 2 * w + cols))
         perm = jnp.argsort(key_)
         A_work = jnp.take(A_work, perm, axis=1)
         A_sk = jnp.take(A_sk, perm, axis=1)
@@ -127,14 +116,14 @@ def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
         A_sk_panel = jax.lax.dynamic_slice(A_sk, (0, c), (d, b))
         panel = jax.lax.dynamic_slice(A_work, (0, c), (m, b))
         if cfg.block_reorth:
-            # BCGS2: second Gram-Schmidt pass against the committed basis
-            # (single-pass block GS drifts like u·cond²; the correction
-            # coefficients are folded into R's earlier rows so the
-            # factorization stays exact).
-            proj = jnp.matmul(Q.T, panel, precision=precision)   # (K, b)
-            panel = panel - jnp.matmul(Q, proj, precision=precision)
+            # BCGS2 against the filled basis prefix; correction folded
+            # into R's earlier rows so the factorization stays exact.
+            proj = jnp.matmul(Qp.T, panel, precision=precision)  # (q_hi, b)
+            panel = panel - jnp.matmul(Qp, proj, precision=precision)
             Rpan = jax.lax.dynamic_slice(R, (0, c), (R.shape[0], b))
-            R = jax.lax.dynamic_update_slice(R, Rpan + proj, (0, c))
+            projK = jnp.zeros((R.shape[0], b), dtype)
+            projK = jax.lax.dynamic_update_slice(projK, proj, (0, 0))
+            R = jax.lax.dynamic_update_slice(R, Rpan + projK, (0, c))
         if cfg.qr_tall == QRTall.cholqr:
             _, R_sk = qr_econ(A_sk_panel)
             R_sk = _safe_triu_diag(R_sk, dtype)
@@ -144,7 +133,6 @@ def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
                 Q_panel, R2, f2 = cholqr(Q_panel, precision)
                 R11 = jnp.matmul(R2, R11, precision=precision)
                 failp = failp | f2
-            # Householder fallback if CholQR broke down on this panel
             Q_panel, R11 = jax.lax.cond(
                 failp, lambda p, q, r: qr_econ(p),
                 lambda p, q, r: (q, r), panel, Q_panel, R11)
@@ -153,26 +141,81 @@ def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
             failp = jnp.asarray(False)
         R11 = jnp.triu(R11)
 
-        # -- trailing update (apply_trans_q) -----------------------------
-        T = jnp.matmul(Q_panel.T, A_work, precision=precision)   # (b, n)
+        # -- trailing update (apply_trans_q) over the window --------------
+        T = jnp.matmul(Q_panel.T, A_work, precision=precision)   # (b, w)
         T = jnp.where(active[None, :], T, 0.0)
-        # exact R₁₁ in the panel columns
         T = jax.lax.dynamic_update_slice(T, R11, (0, c))
         A_work = A_work - jnp.matmul(Q_panel, T, precision=precision)
 
-        # -- sketch downdate (rl_bqrrp.hh:630-650 equivalent) ------------
+        # -- sketch downdate ----------------------------------------------
         SQ = jax.lax.linalg.triangular_solve(
             _safe_triu_diag(R11, dtype), A_sk_panel,
-            left_side=False, lower=False)            # A_sk_panel · R₁₁⁻¹
+            left_side=False, lower=False)
         A_sk = A_sk - jnp.matmul(SQ, T, precision=precision)
 
-        # -- commit block outputs ---------------------------------------
-        Q = jax.lax.dynamic_update_slice(Q, Q_panel, (0, c))
-        R = jax.lax.dynamic_update_slice(R, T, (c, 0))
-        return A_work, A_sk, Q, R, J, fail | failp
+        # -- commit: Q column block (global position g0+c), R row block ---
+        Qp = jax.lax.dynamic_update_slice(Qp, Q_panel, (0, g0 + c))
+        R = jax.lax.dynamic_update_slice(R, T, (g0 + c, 0))
+        return A_work, A_sk, Qp, R, J, fail | failp
 
-    carry = (A, A_sk0, Q0, R0, J0, jnp.asarray(False))
-    _, _, Q, R, J, fail = jax.lax.fori_loop(0, nblocks, block, carry)
+    carry = (A_loc, A_sk_loc, Qp, R_loc, J_loc, fail)
+    A_loc, A_sk_loc, Qp, R_loc, J_loc, fail = jax.lax.fori_loop(
+        0, nblocks, block, carry)
+    Q = Q.at[:, :q_hi].set(Qp)
+    return A_loc, A_sk_loc, Q, R_loc, J_loc, fail
+
+
+def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
+          precision=STABLE_PRECISION):
+    """Blocked randomized QRCP of A (any aspect ratio): A[:, J] ≈ Q R.
+
+    Returns ``(Q, R, J, rank, fail, next_state)``:
+      Q (m, K) orthonormal, R (K, n) upper-trapezoidal, J (n,) int32,
+      K = min(m, n) (must be a multiple of ``cfg.block_size``),
+      ``rank`` an int32 upper-bound estimate from diag(R),
+      ``fail`` the CholQR breakdown flag.
+    """
+    m, n = A.shape
+    b = cfg.block_size
+    K = min(m, n)
+    assert K % b == 0, f"min(m,n)={K} must be a multiple of block_size={b}"
+    d = int(cfg.d_factor * b)
+    dtype = A.dtype
+
+    S = cfg.stages if (m >= n and cfg.stages > 1
+                       and K % (cfg.stages * b) == 0) else 1
+    chunk = K // S
+
+    # one-time sketch (rl_bqrrp.hh:306-312)
+    key, state = state.spawn()
+    Smat = jax.random.normal(key, (d, m), dtype=dtype) / math.sqrt(d)
+    A_sk = jnp.matmul(Smat, A, precision=precision)
+
+    Q = jnp.zeros((m, K), dtype)
+    R = jnp.zeros((K, n), dtype)
+    J = jnp.arange(n, dtype=jnp.int32)
+    fail = jnp.asarray(False)
+    A_work = A
+
+    for s in range(S):
+        g0 = s * chunk
+        q_hi = min((s + 1) * chunk, K)
+        nblocks = chunk // b
+        # local window [g0, n)
+        A_loc = A_work[:, g0:] if s > 0 else A_work
+        A_sk_loc = A_sk[:, g0:] if s > 0 else A_sk
+        R_loc = R[:, g0:] if s > 0 else R
+        J_loc = J[g0:] if s > 0 else J
+        A_loc, A_sk_loc, Q, R_loc, J_loc, fail = _stage(
+            A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg, g0, q_hi,
+            nblocks, precision)
+        if S > 1:
+            A_work = A_work.at[:, g0:].set(A_loc) if s + 1 < S else A_work
+            A_sk = A_sk.at[:, g0:].set(A_sk_loc) if s + 1 < S else A_sk
+            R = R.at[:, g0:].set(R_loc)
+            J = J.at[g0:].set(J_loc)
+        else:
+            R, J = R_loc, J_loc
 
     for _ in range(cfg.final_orth):
         Q, R2, f2 = cholqr(Q, precision)

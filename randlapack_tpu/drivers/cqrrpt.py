@@ -42,6 +42,9 @@ class CQRRPTConfig:
     qrcp: QRCPKind = QRCPKind.geqp3
     bqrrp_block: int = 128        # block size when qrcp == bqrrp
     eps_rank: float | None = None  # rank-estimate threshold (None → machine)
+    orthogonalization: bool = False  # complete a rank-deficient basis to a
+                                     # full orthonormal Q with projected
+                                     # Gaussians (rl_cqrrpt.hh:343-368)
 
 
 @partial(jax.jit, static_argnames=("cfg", "precision"))
@@ -110,4 +113,21 @@ def cqrrpt(A: jax.Array, cfg: CQRRPTConfig, state: RNGState,
     Q = jax.lax.linalg.triangular_solve(
         R_chol, A_pre, left_side=False, lower=False)
     R = jnp.matmul(R_chol, R_sk_safe, precision=precision)
+
+    if cfg.orthogonalization:
+        # basis completion (rl_cqrrpt.hh:343-368): replace the zeroed
+        # trailing columns with Gaussians projected against the leading
+        # rank columns, orthonormalized by CholQR. Static shapes: all n
+        # candidates are completed, then selected per-column by rank mask.
+        key, state = state.spawn()
+        G_rand = jax.random.normal(key, Q.shape, dtype=A.dtype)
+        Qk = Q * keep[None, :]
+        for _ in range(2):  # two projection passes (BCGS2)
+            G_rand = G_rand - jnp.matmul(
+                Qk, jnp.matmul(Qk.T, G_rand, precision=precision),
+                precision=precision)
+        from ..ops.cholqr import cholqr2
+        Qc, _, f2 = cholqr2(G_rand, precision)
+        fail = fail | f2
+        Q = jnp.where(keep[None, :] > 0, Q, Qc)
     return Q, R, J, rank, fail, state

@@ -24,6 +24,11 @@ from ..comps.preconditioners import (make_right_orthogonalizer,
 class SPLSConfig:
     d_factor: float = 4.0         # sketch rows = d_factor * n
     vec_nnz: int = 8
+    precond: str = "svd"          # "qr": M = R_sk⁻¹ (exact triangular; best
+                                  # for μ≈0 but XLA tall QR is slow on TPU);
+                                  # "svd": V/√(σ²+μ) (the
+                                  # reference's rpc_data_svd path — handles
+                                  # μ>0 and rank deficiency)
     pcg: PCGSaddleConfig = PCGSaddleConfig()
 
 
@@ -35,9 +40,23 @@ def spls(A: jax.Array, b: jax.Array, mu, cfg: SPLSConfig, state: RNGState,
     """
     m, n = A.shape
     d = int(cfg.d_factor * n)
-    V_sk, sigma_sk, state = rpc_data_svd_saso(A, d, state, cfg.vec_nnz,
-                                              precision)
-    M, _ = make_right_orthogonalizer(V_sk, sigma_sk, mu)
+    if cfg.precond == "qr":
+        from ..sketching import SparseDist, fill_sparse, saso_left_apply
+        op, state = fill_sparse(SparseDist(d, m, cfg.vec_nnz), state,
+                                dtype=A.dtype)
+        A_sk = saso_left_apply(op, A)
+        _, R_sk = jax.lax.linalg.qr(A_sk, full_matrices=False)
+        eps = jnp.finfo(A.dtype).eps
+        dg = jnp.diag(R_sk)
+        ref = jnp.max(jnp.abs(dg)) * eps + eps
+        R_sk = R_sk - jnp.diag(dg) + jnp.diag(
+            jnp.where(jnp.abs(dg) > ref, dg, ref))
+        M = jax.lax.linalg.triangular_solve(
+            R_sk, jnp.eye(n, dtype=A.dtype), left_side=True, lower=False)
+    else:
+        V_sk, sigma_sk, state = rpc_data_svd_saso(A, d, state, cfg.vec_nnz,
+                                                  precision=precision)
+        M, _ = make_right_orthogonalizer(V_sk, sigma_sk, mu)
     x0 = jnp.zeros((n,) + b.shape[1:], A.dtype)
     c = jnp.zeros_like(x0)
     if b.ndim == 1:

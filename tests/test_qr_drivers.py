@@ -127,3 +127,24 @@ class TestBQRRP:
         res = float(jnp.linalg.norm(Q[:, :r] @ R[:r, :] - util.col_swap(A, J)))
         assert res < 10 * tail + ATOL
         assert float(util.orthogonality_check(Q[:, :r])) < ATOL * np.sqrt(r) * 10
+
+
+class TestCQRRPTOrthogonalization:
+    def test_basis_completion(self):
+        # rank-deficient input + orthogonalization mode -> FULL orthonormal Q
+        from randlapack_tpu.drivers.cqrrpt import CQRRPTConfig as _C
+        A, st = mat_gen(MatGenInfo(1500, 50, MatType.exponential,
+                                   cond_num=100), RNGState(30))
+        A = jnp.concatenate([A, A[:, :30]], axis=1)  # 80 cols, rank 50
+        Q, R, J, rank, fail, _ = cqrrpt(A, _C(orthogonalization=True),
+                                        RNGState(31))
+        # machine-eps rank threshold can land a column or two past the
+        # true rank (noise-level diagonal entries)
+        assert 50 <= int(rank) <= 52
+        # the COMPLETE Q (all 80 columns) is orthonormal
+        assert float(util.orthogonality_check(Q)) < 1e-9 * np.sqrt(80)
+        # leading-rank part still factors A
+        r = int(rank)
+        res = float(jnp.linalg.norm(Q[:, :r] @ R[:r] - util.col_swap(A, J))
+                    / jnp.linalg.norm(A))
+        assert res < ATOL * 10
