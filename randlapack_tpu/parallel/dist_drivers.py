@@ -1,0 +1,102 @@
+"""Distributed drivers over a row-sharded mesh — multi-chip versions of the
+tall-matrix pipelines (SURVEY.md §5.7/§5.8: the reference's one-pass
+sketches and blocked Gram loops are exactly what shards along m).
+
+``dist_cqrrpt`` is GSPMD-style: the tall operand carries a row sharding,
+the small (d×n / n×n) intermediates are replicated, and XLA inserts the
+psum for every m-contraction (sketch apply, Gram). The QRCP of the sketch
+runs redundantly on every device — cheaper than broadcasting its outputs.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import STABLE_PRECISION
+from ..rng import RNGState
+from ..ops.qr import geqp3
+from ..ops import util
+
+
+def dist_cqrrpt(A: jax.Array, mesh: Mesh, state: RNGState,
+                d_factor: float = 1.25, axis: str = "rows",
+                precision=STABLE_PRECISION):
+    """Pivoted QR of a row-sharded tall A: A[:, J] ≈ Q R with Q sharded
+    like A and R/J replicated.
+
+    Returns ``(Q, R, J, rank, fail, next_state)`` — the sharded analogue of
+    :func:`randlapack_tpu.drivers.cqrrpt` (Gaussian sketch variant: the
+    sketch operator's columns shard with A's rows so the d×n sketch is one
+    psum; SASO scatter does not shard as cleanly).
+    """
+    m, n = A.shape
+    d = int(d_factor * n)
+    dtype = A.dtype
+    rows_sh = NamedSharding(mesh, P(axis, None))
+    repl = NamedSharding(mesh, P())
+
+    key, state = state.spawn()
+    S = jax.random.normal(key, (d, m), dtype=dtype) / math.sqrt(d)
+    S = jax.lax.with_sharding_constraint(S, NamedSharding(mesh,
+                                                          P(None, axis)))
+
+    @jax.jit
+    def impl(A, S):
+        A = jax.lax.with_sharding_constraint(A, rows_sh)
+        # sketch: column-sharded S against row-sharded A → replicated d×n
+        A_sk = jax.lax.with_sharding_constraint(
+            jnp.matmul(S, A, precision=precision), repl)
+        # QRCP of the small sketch, replicated on every device
+        _, R_sk, J = geqp3(A_sk, want_q=False, precision=precision)
+        eps = jnp.finfo(dtype).eps
+        diag = jnp.abs(jnp.diag(R_sk))
+        rank = util.naive_rank_est(jnp.diag(R_sk), diag[0] * eps)
+        keep = (jnp.arange(n) < rank).astype(dtype)
+        dsafe = jnp.where(keep > 0, jnp.diag(R_sk), 1.0)
+        R_sk_safe = (jnp.triu(R_sk) - jnp.diag(jnp.diag(R_sk))
+                     + jnp.diag(dsafe))
+        # pivot + precondition: row-local ops on the sharded operand
+        A_piv = jnp.take(A, J, axis=1)
+        A_pre = jax.lax.linalg.triangular_solve(
+            R_sk_safe, A_piv, left_side=False, lower=False) * keep[None, :]
+        A_pre = jax.lax.with_sharding_constraint(A_pre, rows_sh)
+        # Gram over the mesh (psum inserted by SPMD partitioner)
+        G = jax.lax.with_sharding_constraint(
+            jnp.matmul(A_pre.T, A_pre, precision=precision)
+            + jnp.diag(1.0 - keep), repl)
+        L = jax.lax.linalg.cholesky(G)
+        fail = jnp.any(jnp.isnan(L))
+        Q = jax.lax.linalg.triangular_solve(L.T, A_pre, left_side=False,
+                                            lower=False)
+        Q = jax.lax.with_sharding_constraint(Q, rows_sh)
+        R = jnp.matmul(L.T, R_sk_safe, precision=precision)
+        return Q, R, J, rank, fail
+
+    Q, R, J, rank, fail = impl(A, S)
+    return Q, R, J, rank, fail, state
+
+
+def dist_rsvd(A: jax.Array, k: int, mesh: Mesh, state: RNGState,
+              power_iters: int = 2, axis: str = "rows",
+              precision=STABLE_PRECISION):
+    """Fixed-rank randomized SVD of a row-sharded A: one sharded
+    rangefinder cycle per power iteration (distributed CholQR2), then a
+    replicated small SVD. Returns ``(U, S, Vt, next_state)`` with U
+    sharded like A."""
+    from .distributed import dist_rangefinder_step
+    from ..ops.svd import svd_econ
+
+    n = A.shape[1]
+    key, state = state.spawn()
+    Omega = jax.random.normal(key, (n, k), dtype=A.dtype)
+
+    Q = B = None
+    for _ in range(max(power_iters, 1)):
+        Q, B, Omega, fail = dist_rangefinder_step(A, Omega, mesh, axis,
+                                                  precision)
+    Ub, S, Vt = svd_econ(B, precision=precision)
+    U = jnp.matmul(Q, Ub, precision=precision)
+    return U, S, Vt, state

@@ -89,3 +89,31 @@ class TestDistOps:
             return jnp.linalg.norm(Q.T @ Q - jnp.eye(48, dtype=a.dtype))
 
         assert float(step(As)) < 1e-12
+
+
+class TestDistDrivers:
+    def test_dist_cqrrpt(self, mesh):
+        from randlapack_tpu.parallel import dist_cqrrpt
+        A, _ = mat_gen(MatGenInfo(1024, 64, MatType.exponential,
+                                  cond_num=1e5), RNGState(20))
+        As = jax.device_put(A, row_sharded(mesh))
+        Q, R, J, rank, fail, _ = dist_cqrrpt(As, mesh, RNGState(21))
+        assert not bool(fail)
+        assert int(rank) == 64
+        Qh = np.asarray(Q)
+        assert np.linalg.norm(Qh.T @ Qh - np.eye(64)) < 1e-11
+        res = np.linalg.norm(Qh @ np.asarray(R)
+                             - np.asarray(util.col_swap(A, J)))
+        assert res < 1e-11 * float(jnp.linalg.norm(A)) * 64
+
+    def test_dist_rsvd(self, mesh):
+        from randlapack_tpu.parallel import dist_rsvd
+        from randlapack_tpu.gen import gen_exp_singvals, gen_singvec
+        s = gen_exp_singvals(48, 1e6, jnp.float64)
+        A, _ = gen_singvec(640, 48, s, RNGState(22))
+        As = jax.device_put(A, row_sharded(mesh))
+        U, S, Vt, _ = dist_rsvd(As, 16, mesh, RNGState(23))
+        s_ref = np.linalg.svd(np.asarray(A), compute_uv=False)
+        np.testing.assert_allclose(np.asarray(S[:8]), s_ref[:8], rtol=1e-4)
+        Uh = np.asarray(U)
+        assert np.linalg.norm(Uh.T @ Uh - np.eye(16)) < 1e-10
