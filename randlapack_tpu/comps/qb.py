@@ -74,12 +74,21 @@ def qb_blocked(A: jax.Array, k: int, cfg: QBConfig, state: RNGState,
     return Q, B, errs, base.branch(-2)
 
 
+# Status codes mirroring the reference QB's return codes 0–6
+# (rl_qb.hh:193-256): the subset meaningful under the static design.
+QB_OK = 0                 # tolerance met within rank budget
+QB_RANK_EXHAUSTED = 1     # ran to rank k without reaching tol
+QB_ERROR_GREW = 2         # blockwise error increased (lost accuracy)
+
+
 def qb(A: jax.Array, k: int, cfg: QBConfig, state: RNGState, tol: float = 0.0,
        precision=STABLE_PRECISION):
     """Adaptive QB: runs the blocked factorization and truncates at the
     first block whose relative Frobenius error is ≤ tol (or rank k).
 
     Returns ``(Q, B, rank, err, next_state)`` — Q, B are sliced on host.
+    Use :func:`qb_status` on the full error history for the reference's
+    return-code diagnostics.
     """
     b = cfg.block_size
     k_pad = -(-k // b) * b
@@ -89,3 +98,14 @@ def qb(A: jax.Array, k: int, cfg: QBConfig, state: RNGState, tol: float = 0.0,
     stop = next((i for i in range(nb) if errs_h[i] <= tol), nb - 1)
     rank = min((stop + 1) * b, k)
     return Q[:, :rank], B[:rank, :], rank, float(errs_h[stop]), state
+
+
+def qb_status(errs, tol: float) -> int:
+    """Diagnose a blocked-QB error history (reference return codes)."""
+    import numpy as np
+    e = np.asarray(errs)
+    if np.any(np.diff(e) > 1e-12):
+        return QB_ERROR_GREW
+    if e.min() <= tol:
+        return QB_OK
+    return QB_RANK_EXHAUSTED

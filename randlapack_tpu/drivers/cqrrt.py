@@ -72,5 +72,15 @@ def cqrrt(A: jax.Array, cfg: CQRRTConfig, state: RNGState,
                       jnp.diag(R_sk),
                       jnp.maximum(dref, eps))
     R_sk = R_sk - jnp.diag(jnp.diag(R_sk)) + jnp.diag(dsafe)
+    if not cfg.compute_q:
+        # Q-less path (the reference's compute_Q=false, rl_cqrrt.hh:113):
+        # Gram + Cholesky only — R from one pass over A, no trsm for Q.
+        A_pre = jax.lax.linalg.triangular_solve(R_sk, A, left_side=False,
+                                                lower=False)
+        G = jnp.matmul(A_pre.T, A_pre, precision=precision)
+        L = jax.lax.linalg.cholesky(0.5 * (G + G.T))
+        fail = jnp.any(jnp.isnan(L))
+        R = jnp.matmul(L.T, R_sk, precision=precision)
+        return None, R, fail, state
     Q, R, fail = preconditioned_cholqr(A, R_sk, precision)
     return Q, R, fail, state

@@ -102,3 +102,39 @@ class TestAux:
     def test_device_stats(self):
         stats = device_memory_stats()
         assert isinstance(stats, dict)
+
+
+class TestTestingHelpers:
+    def test_helpers(self):
+        import jax.numpy as jnp
+        from randlapack_tpu import RNGState
+        from randlapack_tpu.testing import (buffs_approx_equal,
+                                            coo_view_of_skop,
+                                            iid_sparsify_random_dense,
+                                            matrices_approx_equal,
+                                            random_coo)
+        from randlapack_tpu.sketching import SparseDist, fill_sparse, saso_to_dense
+        A = jnp.ones((4, 4))
+        assert matrices_approx_equal(A, A + 1e-14)
+        assert not matrices_approx_equal(A, A + 1.0)
+        assert buffs_approx_equal([1.0], [1.0 + 1e-9], 1e-8)
+        S, _ = iid_sparsify_random_dense(50, 40, 0.3, RNGState(0))
+        frac = float(jnp.mean((S != 0).astype(jnp.float64)))
+        assert 0.2 < frac < 0.4
+        (r, c, v), _ = random_coo(20, 30, 100, RNGState(1))
+        assert r.shape == (100,)
+        # coo view reproduces the dense SASO
+        op, _ = fill_sparse(SparseDist(10, 40, 3), RNGState(2),
+                            dtype=jnp.float64)
+        rr, cc, vv, shape = coo_view_of_skop(op)
+        D = np.zeros(shape)
+        np.add.at(D, (np.asarray(rr), np.asarray(cc)), np.asarray(vv))
+        np.testing.assert_allclose(D, np.asarray(saso_to_dense(op)),
+                                   atol=1e-14)
+
+    def test_qb_status(self):
+        from randlapack_tpu.comps.qb import (QB_ERROR_GREW, QB_OK,
+                                             QB_RANK_EXHAUSTED, qb_status)
+        assert qb_status([0.5, 0.1, 1e-8], 1e-6) == QB_OK
+        assert qb_status([0.5, 0.1, 0.01], 1e-6) == QB_RANK_EXHAUSTED
+        assert qb_status([0.5, 0.1, 0.2], 1e-6) == QB_ERROR_GREW

@@ -38,6 +38,16 @@ class TestCQRRT:
         # R upper triangular
         assert float(jnp.linalg.norm(jnp.tril(R, -1))) == 0.0
 
+    def test_qless_mode(self):
+        # compute_q=False: R only, one Gram pass (rl_cqrrt.hh compute_Q)
+        A, st = mat_gen(MatGenInfo(1500, 80, MatType.exponential,
+                                   cond_num=1e6), RNGState(40))
+        Qn, R, fail, _ = cqrrt(A, CQRRTConfig(compute_q=False), RNGState(41))
+        assert Qn is None and not bool(fail)
+        G = np.asarray(A.T @ A)
+        np.testing.assert_allclose(np.asarray(R.T @ R), G,
+                                   rtol=1e-8, atol=1e-10)
+
     def test_srht_sketch(self):
         from randlapack_tpu.drivers import SketchKind
         A, st = mat_gen(MatGenInfo(1000, 64, MatType.exponential,
