@@ -218,9 +218,20 @@ def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
             R, J = R_loc, J_loc
 
     for _ in range(cfg.final_orth):
-        Q, R2, f2 = cholqr(Q, precision)
-        R = jnp.matmul(R2, R, precision=precision)
-        fail = fail | f2
+        # final-orth pass with shift rescue: on degenerate Q (rank-deficient
+        # input → fallback panels can collide) the unshifted Cholesky breaks;
+        # the shifted factor keeps outputs finite and `fail` records it.
+        G = jnp.matmul(Q.T, Q, precision=precision)
+        L = jax.lax.linalg.cholesky(G)
+        bad = jnp.any(jnp.isnan(L)) | jnp.any(jnp.diag(L) <= 0)
+        eps = jnp.finfo(dtype).eps
+        s2 = 11.0 * eps * jnp.trace(G) + eps
+        Ls = jax.lax.linalg.cholesky(G + s2 * jnp.eye(K, dtype=dtype))
+        L = jnp.where(bad, Ls, L)
+        Q = jax.lax.linalg.triangular_solve(L.T, Q, left_side=False,
+                                            lower=False)
+        R = jnp.matmul(L.T, R, precision=precision)
+        fail = fail | bad
 
     diag = jnp.diag(R[:, :K])
     eps = jnp.finfo(dtype).eps

@@ -8,8 +8,6 @@ extras' test_pcgls; this driver is the composed convenience API):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -52,7 +52,6 @@ class CompositeLinOp:
         # Upper bound ‖Op1·Op2‖_F ≤ ‖Op1‖_F·‖Op2‖_F would be wrong as an
         # exact value; materialize-free exact norm isn't available — the
         # reference materializes too for this case.
-        from .base import materialize
         import jax.numpy as jnp
         return jnp.linalg.norm(self.matmat(
             jnp.eye(self.n_cols, dtype=self.dtype)))

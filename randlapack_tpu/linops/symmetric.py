@@ -182,7 +182,6 @@ class SpectralPrecond:
     tmatmat = matmat
 
     def fro_nrm(self):
-        import math
         # ‖VDVᵀ+I‖_F = sqrt(Σ(1+d)² + (n−k)) for orthonormal V, single-μ D
         if self.D.ndim == 1:
             n, k = self.V.shape

@@ -13,7 +13,6 @@ import jax
 import jax.numpy as jnp
 
 from ..config import STABLE_PRECISION
-from .qr import geqp3
 
 
 def householder_reconstruct(Q: jax.Array, precision=STABLE_PRECISION):

@@ -10,8 +10,6 @@ local. This replaces both the reference's threaded-BLAS CholQR
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

@@ -1,0 +1,120 @@
+"""Edge cases and negative tests across layers (the reference's zero-matrix
+/ wide-matrix / validation cases, SURVEY §4 item 3)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from randlapack_tpu import RNGState
+from randlapack_tpu import sketching as sk
+from randlapack_tpu.comps import (PCGConfig, QBConfig, pcg, qb_blocked)
+from randlapack_tpu.drivers import (ABRIKConfig, BQRRPConfig, abrik, bqrrp,
+                                    CQRRTConfig, cqrrt)
+from randlapack_tpu.gen import MatGenInfo, MatType, mat_gen
+from randlapack_tpu.linops import CompositeLinOp, DenseLinOp
+from randlapack_tpu.ops import geqp3, util
+from randlapack_tpu.ops.svd import svd_econ
+
+
+class TestZeroAndDegenerate:
+    def test_geqp3_zero_matrix(self):
+        Z = jnp.zeros((20, 10))
+        Q, R, J = geqp3(Z)
+        assert bool(jnp.all(jnp.isfinite(Q)))
+        assert float(jnp.linalg.norm(R)) == 0.0
+
+    def test_bqrrp_wide_rank1(self):
+        u = jnp.ones((60, 1)); v = jnp.ones((1, 120))
+        A = (u @ v).astype(jnp.float64)
+        Q, R, J, rank, fail, _ = bqrrp(A, BQRRPConfig(block_size=30),
+                                       RNGState(0))
+        assert int(rank) <= 2
+        res = float(jnp.linalg.norm(Q[:, :1] @ R[:1] - util.col_swap(A, J)))
+        assert res < 1e-10 * float(jnp.linalg.norm(A))
+
+    def test_pcg_zero_rhs(self):
+        A = jnp.eye(10, dtype=jnp.float64)
+        H = jnp.zeros((10, 2), jnp.float64)
+        X, hist, it = pcg(A, H, None, jnp.zeros_like(H), PCGConfig())
+        assert float(jnp.linalg.norm(X)) == 0.0
+        assert int(it) == 0
+
+    def test_qb_exact_rank(self):
+        # matrix of exact rank 32: second block contributes ~nothing
+        A, st = mat_gen(MatGenInfo(200, 150, MatType.gaussian), RNGState(1))
+        A = A[:, :32] @ jnp.ones((32, 150), jnp.float64) * 0.1 + \
+            A[:, :32] @ jax.random.normal(jax.random.key(0), (32, 150),
+                                          dtype=jnp.float64)
+        Q, B, errs, _ = qb_blocked(A, 64, QBConfig(block_size=32),
+                                   RNGState(2))
+        assert float(errs[0]) < 1e-10
+
+    def test_svd_econ_rank_deficient(self):
+        A = jnp.ones((40, 30), jnp.float64)  # rank 1
+        U, s, Vt = svd_econ(A, method="gram_eigh")
+        assert abs(float(s[0]) - np.sqrt(40 * 30)) < 1e-8
+        assert float(s[1]) < 1e-6 * float(s[0])
+        # derived vectors beyond the cutoff are zeroed, not NaN
+        assert bool(jnp.all(jnp.isfinite(Vt)))
+
+    def test_abrik_k_too_big(self):
+        A = jnp.ones((50, 40))
+        with pytest.raises(AssertionError):
+            abrik(A, 30, ABRIKConfig(block_size=4, max_iters=2), RNGState(3))
+
+
+class TestSketchingEdges:
+    def test_sketch_right_dense(self):
+        op, _ = sk.dense_skop(sk.DenseDist(60, 20), RNGState(4),
+                              dtype=jnp.float64)
+        A = jax.random.normal(jax.random.key(1), (5, 60), dtype=jnp.float64)
+        out = sk.sketch_right(A, op)
+        ref = A @ op.mat * op.dist.isometry_scale
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-12)
+
+    def test_srht_non_pow2(self):
+        # m = 1000 (not a power of two) pads internally
+        op, _ = sk.srht_skop(128, 1000, RNGState(5), dtype=jnp.float64)
+        A = jax.random.normal(jax.random.key(2), (1000, 8),
+                              dtype=jnp.float64)
+        out = sk.srht_left_apply(op, A)
+        assert out.shape == (128, 8)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_saso_single_nnz(self):
+        op, _ = sk.fill_sparse(sk.SparseDist(16, 100, vec_nnz=1),
+                               RNGState(6), dtype=jnp.float64)
+        A = jnp.eye(100, dtype=jnp.float64)
+        S_dense = sk.saso_to_dense(op)
+        np.testing.assert_allclose(np.asarray(sk.saso_left_apply(op, A)),
+                                   np.asarray(S_dense), atol=1e-14)
+
+
+class TestValidation:
+    def test_composite_shape_mismatch(self):
+        A = DenseLinOp(jnp.ones((5, 4)))
+        B = DenseLinOp(jnp.ones((3, 2)))
+        with pytest.raises(AssertionError):
+            CompositeLinOp(A, B)
+
+    def test_cqrrt_bad_dfactor_still_works(self):
+        # d_factor exactly 1.0 → square sketch: still valid
+        A, st = mat_gen(MatGenInfo(500, 50, MatType.exponential,
+                                   cond_num=100), RNGState(7))
+        Q, R, fail, _ = cqrrt(A, CQRRTConfig(d_factor=1.0), st)
+        assert not bool(fail)
+        assert float(util.orthogonality_check(Q)) < 1e-9
+
+
+class TestDtypes:
+    def test_f32_pipeline(self):
+        # the whole RSVD stack in f32 on CPU (dtype-generic check)
+        from randlapack_tpu.drivers import RSVDConfig, rsvd_fixed_rank
+        A, st = mat_gen(MatGenInfo(256, 256, MatType.exponential,
+                                   cond_num=100), RNGState(8),
+                        dtype=jnp.float32)
+        U, S, Vt, err, _ = rsvd_fixed_rank(
+            A, 64, RSVDConfig(QBConfig(block_size=32)), RNGState(9))
+        assert U.dtype == jnp.float32
+        assert float(util.orthogonality_check(U)) < 1e-4
