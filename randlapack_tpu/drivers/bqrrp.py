@@ -63,6 +63,14 @@ class BQRRPConfig:
                                   # grade orthogonality cheaply
     stages: int = 1               # shrinking-width stages (tall/square
                                   # only; 1 = single full-width graph)
+    pivot_candidates: int | None = None
+                                  # preselect this many × block_size top-norm
+                                  # sketch columns before the LU pivot pass
+                                  # (XLA's LU is far off roofline; running it
+                                  # on 4b candidates instead of all active
+                                  # columns is ~8× cheaper with near-
+                                  # identical pivot quality). None = faithful
+                                  # full-width LU (the reference's luqr).
 
 
 def _safe_triu_diag(R, dtype):
@@ -99,8 +107,17 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
         # -- qrcp_wide: LU pivots on the live sketch window --------------
         active = cols >= c
         A_sk_m = A_sk * active[None, :].astype(dtype)
-        _, _, perm_lu = jax.lax.linalg.lu(A_sk_m.T)
-        chosen = perm_lu[:b]
+        if cfg.pivot_candidates is not None:
+            # preselect top-norm candidate columns, LU only on those
+            n_cand = min(w, cfg.pivot_candidates * b)
+            norms2 = jnp.sum(A_sk_m * A_sk_m, axis=0)
+            _, cand = jax.lax.top_k(norms2, n_cand)
+            sub = jnp.take(A_sk_m, cand, axis=1)        # (d, n_cand)
+            _, _, perm_sub = jax.lax.linalg.lu(sub.T)
+            chosen = jnp.take(cand, perm_sub[:b])
+        else:
+            _, _, perm_lu = jax.lax.linalg.lu(A_sk_m.T)
+            chosen = perm_lu[:b]
         pos = jnp.zeros((w,), jnp.int32).at[chosen].set(
             jnp.arange(b, dtype=jnp.int32))
         is_chosen = jnp.zeros((w,), bool).at[chosen].set(True)

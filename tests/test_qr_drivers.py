@@ -117,6 +117,18 @@ class TestBQRRP:
         ratio = d / ds
         assert ratio.max() < 30 and ratio.min() > 1 / 30
 
+    def test_pivot_candidates(self):
+        # candidate-preselected LU pivots: same quality bars as full LU
+        import scipy.linalg as sla
+        A, st = mat_gen(MatGenInfo(400, 400, MatType.step, cond_num=1e8),
+                        RNGState(6))
+        Q, R, J, rank, fail, _ = bqrrp(
+            A, BQRRPConfig(block_size=50, pivot_candidates=2), st)
+        _check_qr(A, Q, R, J)
+        _, Rs, _ = sla.qr(np.asarray(A), pivoting=True, mode="economic")
+        ratio = np.abs(np.diag(np.asarray(R))) / np.abs(np.diag(Rs))
+        assert ratio.max() < 30 and ratio.min() > 1 / 30
+
     def test_hqr_panel(self):
         A, st = mat_gen(MatGenInfo(500, 200, MatType.exponential,
                                    cond_num=1e10), RNGState(7))
