@@ -54,6 +54,36 @@ def main():
                 t, _, _ = run_one(n, b, reorth=reorth)
                 print(f"n={n} b={b:5d} reorth={reorth}: {t:8.3f}s  "
                       f"{4/3*n**3/t/1e9:8.0f} GFLOP/s")
+    elif mode == "breakdown":
+        # per-phase runtime breakdown (reference BQRRP_runtime_breakdown.cc):
+        # measured by differencing ablated configs — under jit the fused
+        # phases can't be timed individually from the host.
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+        base_kw = dict(block_size=512, stages=4, pivot_candidates=2)
+
+        def t_of(**kw):
+            cfg = BQRRPConfig(**{**base_kw, **kw})
+            A, st = fast_decay_matrix(n, n, RNGState(0))
+            out = bqrrp(A, cfg, st)
+            device_sync(out[0])
+            ts = []
+            for i in range(2):
+                t0 = time.perf_counter()
+                out = bqrrp(A, cfg, RNGState(i))
+                device_sync(out[0])
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        full = t_of()
+        no_final = t_of(final_orth=0)
+        no_reorth = t_of(final_orth=0, block_reorth=False)
+        no_panel2 = t_of(final_orth=0, block_reorth=False,
+                         panel_reorth=False)
+        print(f"n={n} total                {full:8.3f}s")
+        print(f"  final-orth pass         {full-no_final:8.3f}s")
+        print(f"  BCGS2 block reorth      {no_final-no_reorth:8.3f}s")
+        print(f"  panel 2nd CholQR pass   {no_reorth-no_panel2:8.3f}s")
+        print(f"  core (pivots+panels+trailing+sketch) {no_panel2:8.3f}s")
     elif mode == "quality":
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
         hp = jax.lax.Precision.HIGHEST
