@@ -1,0 +1,122 @@
+"""Deterministic-solver details: residual history semantics, lockstep
+per-column freezing, block-mode pinv fallback, REVD2 over implicit
+operators (reference: test/comps/test_determiter.cc, test_pcgls)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from randlapack_tpu import RNGState
+from randlapack_tpu.comps import PCGConfig, PCGSaddleConfig, pcg, pcg_saddle
+from randlapack_tpu.drivers import REVD2Config, revd2_fixed_rank
+from randlapack_tpu.gen import gen_exp_singvals, psd_from_eigvals
+from randlapack_tpu.linops import ExplicitSymLinOp, SpectralPrecond
+from randlapack_tpu.pdkernels import (SquaredExpKernelLinOp,
+                                      standardize_dataset)
+
+
+def _spd(n, cond, seed):
+    lam = gen_exp_singvals(n, cond, jnp.float64)
+    A, _ = psd_from_eigvals(n, lam, RNGState(seed))
+    return A
+
+
+class TestResidualHistory:
+    def test_history_matches_recomputed(self):
+        A = _spd(80, 100, 0)
+        H = jax.random.normal(jax.random.key(0), (80, 2), dtype=jnp.float64)
+        X, hist, it = pcg(A, H, None, jnp.zeros_like(H),
+                          PCGConfig(tol=1e-12, max_iters=150))
+        it = int(it)
+        # final history entry equals the true final residual norm
+        true_res = np.linalg.norm(np.asarray(A @ X - H), axis=0)
+        np.testing.assert_allclose(np.asarray(hist[it]), true_res,
+                                   rtol=1e-6, atol=1e-12)
+        # history (mostly) decreases over the run
+        h = np.asarray(hist[: it + 1, 0])
+        assert h[-1] < 1e-8 * h[0]
+
+    def test_lockstep_freezes_converged_columns(self):
+        # column 0: easy system (rhs in the top eigenspace) converges first
+        # and must stay frozen while column 1 keeps iterating
+        lam = jnp.concatenate([jnp.ones(5, jnp.float64),
+                               1e-4 * jnp.ones(75, jnp.float64)])
+        A, _ = psd_from_eigvals(80, lam, RNGState(1))
+        w, U = np.linalg.eigh(np.asarray(A))
+        easy = jnp.asarray(U[:, -1:])              # single eigvec rhs
+        hard = jax.random.normal(jax.random.key(2), (80, 1),
+                                 dtype=jnp.float64)
+        H = jnp.concatenate([easy, hard], axis=1)
+        X, hist, it = pcg(A, H, None, jnp.zeros_like(H),
+                          PCGConfig(tol=1e-10, max_iters=400))
+        res = np.linalg.norm(np.asarray(A @ X - H), axis=0)
+        assert res[0] < 1e-9 and res[1] < 1e-9
+        h0 = np.asarray(hist[: int(it) + 1, 0])
+        # column 0 hits its tolerance much earlier than the run length
+        first_conv = int(np.argmax(h0 <= 1e-10 * np.linalg.norm(easy)))
+        assert 0 < first_conv < int(it)
+
+    def test_block_mode_handles_dependent_rhs(self):
+        # identical rhs columns make the block scalar system singular —
+        # the eigh pinv fallback (posm_square) must cope
+        A = _spd(60, 50, 3)
+        h = jax.random.normal(jax.random.key(3), (60, 1), dtype=jnp.float64)
+        H = jnp.concatenate([h, h], axis=1)
+        X, hist, it = pcg(A, H, None, jnp.zeros_like(H),
+                          PCGConfig(tol=1e-10, max_iters=200, mode="block"))
+        res = float(jnp.linalg.norm(A @ X - H) / jnp.linalg.norm(H))
+        assert res < 1e-8
+
+    def test_saddle_refresh(self):
+        # long run crosses the exact-residual refresh boundary
+        import randlapack_tpu.gen as gen
+        A, _ = gen.mat_gen(gen.MatGenInfo(400, 60, gen.MatType.exponential,
+                                          cond_num=100), RNGState(4))
+        xt = jax.random.normal(jax.random.key(4), (60, 1), dtype=jnp.float64)
+        b = A @ xt
+        M = jnp.eye(60, dtype=jnp.float64)
+        x, hist, it = pcg_saddle(A, b, jnp.zeros_like(xt), 0.0, M,
+                                 jnp.zeros_like(xt),
+                                 PCGSaddleConfig(tol=1e-13, max_iters=400,
+                                                 refresh_every=20))
+        # unpreconditioned CG on the normal equations: kappa^2 = 1e4
+        np.testing.assert_allclose(np.asarray(x), np.asarray(xt), atol=1e-7)
+
+
+class TestREVD2Linop:
+    def test_kernel_operator(self):
+        # REVD2 straight over the implicit kernel operator (never densified)
+        X = standardize_dataset(jax.random.normal(jax.random.key(5),
+                                                  (4, 256),
+                                                  dtype=jnp.float64))
+        op = SquaredExpKernelLinOp(X, 1.5, 0.0, evals_include_reg=False,
+                                   block=64)
+        V, lam, err, _ = revd2_fixed_rank(op, 32, REVD2Config(), RNGState(6))
+        from randlapack_tpu.pdkernels import squared_exp_kernel
+        K = squared_exp_kernel(X, X, 1.5)
+        w = np.linalg.eigvalsh(np.asarray(K))[::-1]
+        np.testing.assert_allclose(np.asarray(lam[:8]), w[:8], rtol=1e-4)
+
+    def test_explicit_sym_matches_dense(self):
+        A = _spd(128, 1e4, 7)
+        V1, l1, e1, _ = revd2_fixed_rank(ExplicitSymLinOp(A), 16,
+                                         REVD2Config(), RNGState(8))
+        V2, l2, e2, _ = revd2_fixed_rank(A, 16, REVD2Config(), RNGState(8))
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=1e-12)
+
+
+class TestSpectralPrecondEffect:
+    def test_clusters_spectrum(self):
+        lam = gen_exp_singvals(100, 1e6, jnp.float64)
+        A, _ = psd_from_eigvals(100, lam, RNGState(9))
+        mu = 1e-4
+        w, U = np.linalg.eigh(np.asarray(A))
+        V = jnp.asarray(U[:, ::-1][:, :40].copy())
+        P = SpectralPrecond.prep(V, jnp.asarray(np.sort(w)[::-1][:40].copy()),
+                                 mu)
+        G = ExplicitSymLinOp(A + mu * jnp.eye(100, dtype=jnp.float64))
+        H = jax.random.normal(jax.random.key(6), (100, 1), dtype=jnp.float64)
+        cfgp = PCGConfig(tol=1e-10, max_iters=400)
+        _, _, it_pre = pcg(G, H, P, jnp.zeros_like(H), cfgp)
+        _, _, it_no = pcg(G, H, None, jnp.zeros_like(H), cfgp)
+        assert int(it_pre) < int(it_no)
