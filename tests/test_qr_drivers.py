@@ -81,6 +81,16 @@ class TestCQRRPT:
         assert int(rank) == 50
         _check_qr(A, Q, R, J, rank=int(rank))
 
+    def test_bqrrp_on_sketch(self):
+        # the large-n configuration: QRCP of the sketch via BQRRP
+        from randlapack_tpu.drivers import QRCPKind
+        A, st = mat_gen(MatGenInfo(3000, 256, MatType.exponential,
+                                   cond_num=1e6), RNGState(50))
+        cfg = CQRRPTConfig(qrcp=QRCPKind.bqrrp, bqrrp_block=64)
+        Q, R, J, rank, fail, _ = cqrrpt(A, cfg, st)
+        assert not bool(fail)
+        _check_qr(A, Q, R, J)
+
     def test_pivot_quality(self):
         # leading R diagonal should track the large singular values
         A, st = mat_gen(MatGenInfo(2000, 100, MatType.step, cond_num=1e6),
