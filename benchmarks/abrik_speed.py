@@ -2,7 +2,7 @@
 benchmark/bench_ABRIK/ABRIK_speed_comparisons[_sparse].cc — ABRIK vs RSVD
 vs Spectra SVDS).
 
-Usage: python benchmarks/abrik_speed.py [m n k]
+Usage: python benchmarks/abrik_speed.py [m n k] [--sparse density]
 """
 import sys
 import time
@@ -24,16 +24,28 @@ def main():
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 64
-    A, st = fast_decay_matrix(m, n, RNGState(0), decay=12.0)
+    if "--sparse" in sys.argv:
+        dens = float(sys.argv[sys.argv.index("--sparse") + 1])
+        from randlapack_tpu.gen import gen_exp_singvals, gen_sparse_from_singvals
+        import jax.numpy as _j
+        sv = gen_exp_singvals(min(m, n), 1e6, _j.float32)
+        Ad, st = gen_sparse_from_singvals(m, n, sv, dens, RNGState(0))
+        from randlapack_tpu.linops import SparseLinOp
+        A_op = SparseLinOp.from_dense(Ad)
+        A = Ad  # dense copy for the reference spectrum below
+        print(f"sparse mode: density {dens}")
+    else:
+        A, st = fast_decay_matrix(m, n, RNGState(0), decay=12.0)
+        A_op = A
     hp = jax.lax.Precision.HIGHEST
     from randlapack_tpu.ops.svd import svd_econ
     s_ref = svd_econ(A)[1][:k]
 
     acfg = ABRIKConfig(block_size=k, max_iters=4)
-    out = abrik(A, k, acfg, st)
+    out = abrik(A_op, k, acfg, st)
     device_sync(out[1])
     t0 = time.perf_counter()
-    U, S, Vt, info, _ = abrik(A, k, acfg, RNGState(1))
+    U, S, Vt, info, _ = abrik(A_op, k, acfg, RNGState(1))
     device_sync(S)
     t_ab = time.perf_counter() - t0
     err_ab = float(jnp.max(jnp.abs(S - s_ref) / s_ref))

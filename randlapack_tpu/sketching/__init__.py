@@ -6,6 +6,7 @@ from .srht import SRHTSkOp, fwht, srht_left_apply, srht_skop
 from .apply import sketch_left, sketch_right
 from .sampling import (sample_distinct_uniform, sample_indices_iid,
                        sample_indices_iid_uniform, weights_to_cdf)
+from . import sparse_data
 
 __all__ = [
     "DenseDist", "DenseSkOp", "ScalarDist", "dense_skop", "fill_dense",
@@ -14,5 +15,5 @@ __all__ = [
     "SRHTSkOp", "fwht", "srht_left_apply", "srht_skop",
     "sketch_left", "sketch_right",
     "sample_distinct_uniform", "sample_indices_iid",
-    "sample_indices_iid_uniform", "weights_to_cdf",
+    "sample_indices_iid_uniform", "weights_to_cdf", "sparse_data",
 ]

@@ -156,3 +156,47 @@ class TestSampling:
         a = np.asarray(idx)
         assert all(len(set(r)) == 4 for r in a)
         assert a.min() >= 0 and a.max() < 10
+
+
+class TestSparseData:
+    def test_conversions_roundtrip(self):
+        from randlapack_tpu.sketching import sparse_data as sd
+        rng = np.random.default_rng(0)
+        m, n, nnz = 30, 20, 120
+        rows = rng.integers(0, m, nnz).astype(np.int32)
+        cols = rng.integers(0, n, nnz).astype(np.int32)
+        vals = rng.standard_normal(nnz)
+        D = np.asarray(sd.coo_to_dense(rows, cols, vals, (m, n)))
+        indptr, idx, data = sd.coo_to_csr(rows, cols, vals, (m, n))
+        r2, c2, v2 = sd.csr_to_coo(indptr, idx, data)
+        D2 = np.asarray(sd.coo_to_dense(r2, c2, v2, (m, n)))
+        np.testing.assert_allclose(D2, D, atol=1e-14)
+        # CSC = CSR of transpose
+        indptr_c, idx_c, data_c = sd.coo_to_csc(rows, cols, vals, (m, n))
+        rT, cT, vT = sd.csr_to_coo(indptr_c, idx_c, data_c)
+        DT = np.asarray(sd.coo_to_dense(rT, cT, vT, (n, m)))
+        np.testing.assert_allclose(DT, D.T, atol=1e-14)
+        # dense_to_coo roundtrip
+        r3, c3, v3 = sd.dense_to_coo(jnp.asarray(D))
+        np.testing.assert_allclose(
+            np.asarray(sd.coo_to_dense(r3, c3, v3, (m, n))), D, atol=1e-14)
+
+    def test_spmm_bcoo_bcsr(self):
+        from randlapack_tpu.sketching import sparse_data as sd
+        rng = np.random.default_rng(1)
+        m, n, nnz = 25, 15, 80
+        rows = rng.integers(0, m, nnz).astype(np.int32)
+        cols = rng.integers(0, n, nnz).astype(np.int32)
+        vals = rng.standard_normal(nnz)
+        D = np.asarray(sd.coo_to_dense(rows, cols, vals, (m, n)))
+        B = rng.standard_normal((n, 4))
+        bcoo = sd.to_bcoo(rows, cols, vals, (m, n))
+        np.testing.assert_allclose(np.asarray(sd.left_spmm(bcoo, jnp.asarray(B))),
+                                   D @ B, atol=1e-12)
+        indptr, idx, data = sd.coo_to_csr(rows, cols, vals, (m, n))
+        bcsr = sd.to_bcsr(indptr, idx, data, (m, n))
+        np.testing.assert_allclose(np.asarray(sd.left_spmm(bcsr, jnp.asarray(B))),
+                                   D @ B, atol=1e-12)
+        A = rng.standard_normal((6, m))
+        np.testing.assert_allclose(np.asarray(sd.right_spmm(jnp.asarray(A), bcoo)),
+                                   A @ D, atol=1e-12)
