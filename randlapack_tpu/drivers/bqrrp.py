@@ -63,6 +63,10 @@ class BQRRPConfig:
                                   # grade orthogonality cheaply
     stages: int = 1               # shrinking-width stages (tall/square
                                   # only; 1 = single full-width graph)
+    shard_axis: str | None = None # mesh axis name to shard the tall (row)
+                                  # dimension over — set by dist_bqrrp;
+                                  # inserts sharding constraints so GSPMD
+                                  # keeps A/Q row-sharded through the loop
     pivot_candidates: int | None = None
                                   # preselect this many × block_size top-norm
                                   # sketch columns before the LU pivot pass
@@ -103,6 +107,12 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
     def block(i, carry):
         A_work, A_sk, Qp, R, J, fail = carry
         c = i * b              # local offset; global = g0 + c
+        if cfg.shard_axis is not None:
+            from jax.sharding import PartitionSpec as _P
+            A_work = jax.lax.with_sharding_constraint(
+                A_work, _P(cfg.shard_axis, None))
+            Qp = jax.lax.with_sharding_constraint(
+                Qp, _P(cfg.shard_axis, None))
 
         # -- qrcp_wide: LU pivots on the live sketch window --------------
         active = cols >= c
@@ -247,6 +257,10 @@ def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
         L = jnp.where(bad, Ls, L)
         Q = jax.lax.linalg.triangular_solve(L.T, Q, left_side=False,
                                             lower=False)
+        if cfg.shard_axis is not None:
+            from jax.sharding import PartitionSpec as _P
+            Q = jax.lax.with_sharding_constraint(Q,
+                                                 _P(cfg.shard_axis, None))
         R = jnp.matmul(L.T, R, precision=precision)
         fail = fail | bad
 

@@ -79,6 +79,24 @@ def dist_cqrrpt(A: jax.Array, mesh: Mesh, state: RNGState,
     return Q, R, J, rank, fail, state
 
 
+def dist_bqrrp(A: jax.Array, mesh: Mesh, state: RNGState,
+               block_size: int = 256, stages: int = 1,
+               axis: str = "rows", precision=STABLE_PRECISION):
+    """Distributed flagship BQRRP: the standard blocked engine with the
+    tall dimension row-sharded over the mesh (panel Grams and trailing
+    projections become psums; pivot selection on the replicated sketch is
+    redundant per device). Returns the standard bqrrp outputs with Q
+    sharded like A."""
+    import dataclasses as _dc
+    from ..drivers.bqrrp import BQRRPConfig, bqrrp
+    cfg = BQRRPConfig(block_size=block_size, stages=stages,
+                      shard_axis=axis)
+    A = jax.lax.with_sharding_constraint(
+        A, NamedSharding(mesh, P(axis, None)))
+    with jax.sharding.set_mesh(mesh):
+        return bqrrp(A, cfg, state, precision)
+
+
 def dist_rsvd(A: jax.Array, k: int, mesh: Mesh, state: RNGState,
               power_iters: int = 2, axis: str = "rows",
               precision=STABLE_PRECISION):

@@ -117,3 +117,21 @@ class TestDistDrivers:
         np.testing.assert_allclose(np.asarray(S[:8]), s_ref[:8], rtol=1e-4)
         Uh = np.asarray(U)
         assert np.linalg.norm(Uh.T @ Uh - np.eye(16)) < 1e-10
+
+    def test_dist_bqrrp(self, mesh):
+        from randlapack_tpu.parallel import dist_bqrrp
+        A, _ = mat_gen(MatGenInfo(1024, 256, MatType.exponential,
+                                  cond_num=1e5), RNGState(24))
+        As = jax.device_put(A, row_sharded(mesh))
+        Q, R, J, rank, fail, _ = dist_bqrrp(As, mesh, RNGState(25),
+                                            block_size=64)
+        assert not bool(fail)
+        res = np.linalg.norm(np.asarray(Q) @ np.asarray(R)
+                             - np.asarray(util.col_swap(A, J)))
+        assert res < 1e-12 * float(jnp.linalg.norm(A)) * 256
+        Qh = np.asarray(Q)
+        assert np.linalg.norm(Qh.T @ Qh - np.eye(256)) < 1e-12
+        # matches the single-device result (same RNG stream)
+        from randlapack_tpu.drivers import BQRRPConfig, bqrrp
+        Q2, R2, J2, *_ = bqrrp(A, BQRRPConfig(block_size=64), RNGState(25))
+        np.testing.assert_array_equal(np.asarray(J), np.asarray(J2))
