@@ -12,7 +12,10 @@ state-in/state-out PRNG, frozen dataclass configs mirroring the reference's
 kernels (CholQR instead of column Householder wherever stability allows).
 """
 from .rng import RNGState, as_state
-from . import sketching, ops
+from . import sketching, ops, linops, comps, drivers, gen, pdkernels
+from . import utils, extras, parallel, testing
 
 __version__ = "0.1.0"
-__all__ = ["RNGState", "as_state", "sketching", "ops", "__version__"]
+__all__ = ["RNGState", "as_state", "sketching", "ops", "linops", "comps",
+           "drivers", "gen", "pdkernels", "utils", "extras", "parallel",
+           "testing", "__version__"]
