@@ -120,8 +120,10 @@ def main():
         if time.time() - t_start > BUDGET_S:
             raise TimeoutError("wall budget")
         log("[bench] RSVD 4096 rank 256 ...")
+        # decay chosen so the optimal rank-256 tail is ~1e-2: the QB error
+        # should land within ~1.1x of it
         A, st = fast_decay_matrix(4096, 4096, RNGState(1), dtype=dtype,
-                                  decay=14.0)
+                                  decay=80.0)
         rcfg = RSVDConfig(QBConfig(block_size=64))
         (U, S, Vt, err, _), t_rsvd = timed(
             lambda a, s: rsvd_fixed_rank(a, 256, rcfg, s), A, st)
