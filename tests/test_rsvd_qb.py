@@ -115,3 +115,23 @@ class TestRSVDBattery:
         A = jnp.ones((10, 10))
         with pytest.raises(RandLAPACKError):
             rsvd(A, 1000, RSVDConfig(), RNGState(0))
+
+
+class TestBatching:
+    def test_vmapped_rsvd(self):
+        # functional design bonus: drivers compose with vmap (batched
+        # factorizations in one device program — no reference analogue)
+        As = []
+        for i in range(3):
+            A, _ = mat_gen(MatGenInfo(128, 96, MatType.exponential,
+                                      cond_num=1e4), RNGState(i))
+            As.append(A)
+        batch = jnp.stack(As)
+        cfg = RSVDConfig(QBConfig(block_size=16))
+        f = jax.vmap(lambda a: rsvd_fixed_rank(a, 32, cfg, RNGState(7))[:3])
+        U, S, Vt = f(batch)
+        assert U.shape == (3, 128, 32) and S.shape == (3, 32)
+        for i in range(3):
+            s_ref = np.linalg.svd(np.asarray(As[i]), compute_uv=False)
+            np.testing.assert_allclose(np.asarray(S[i][:8]), s_ref[:8],
+                                       rtol=1e-4)
