@@ -60,12 +60,13 @@ def fill_dense(dist: DenseDist, state: RNGState, dtype=jnp.float32):
     return s, nxt
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DenseSkOp:
-    """A sampled dense sketching operator (materialized)."""
+    """A sampled dense sketching operator (materialized, a pytree)."""
 
-    dist: DenseDist
-    mat: jax.Array  # (n_rows, n_cols)
+    dist: DenseDist = dataclasses.field(metadata=dict(static=True))
+    mat: jax.Array = None  # (n_rows, n_cols)
 
     @property
     def n_rows(self):

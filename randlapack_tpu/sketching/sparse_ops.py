@@ -45,11 +45,13 @@ class SparseDist:
         return 1.0 / math.sqrt(self.vec_nnz)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SparseSkOp:
-    dist: SparseDist
-    rows: jax.Array  # (vec_nnz, long_axis) indices into the short axis
-    vals: jax.Array  # (vec_nnz, long_axis) ±1
+    dist: SparseDist = dataclasses.field(
+        metadata=dict(static=True))        # static: shapes/scale config
+    rows: jax.Array = None  # (vec_nnz, long_axis) short-axis indices
+    vals: jax.Array = None  # (vec_nnz, long_axis) ±1
 
     @property
     def n_rows(self):

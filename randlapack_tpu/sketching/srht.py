@@ -52,14 +52,16 @@ def fwht(x: jax.Array, precision=SKETCH_PRECISION) -> jax.Array:
     return x
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SRHTSkOp:
-    """Sampled SRHT operator: d×m (sketches the length-m axis down to d)."""
+    """Sampled SRHT operator: d×m (sketches the length-m axis down to d;
+    a pytree)."""
 
-    n_rows: int          # d
-    n_cols: int          # m
-    signs: jax.Array     # (m,) ±1
-    rows: jax.Array      # (d,) sampled indices into [0, m_pad)
+    n_rows: int = dataclasses.field(metadata=dict(static=True))   # d
+    n_cols: int = dataclasses.field(metadata=dict(static=True))   # m
+    signs: jax.Array = None   # (m,) ±1
+    rows: jax.Array = None    # (d,) sampled indices into [0, m_pad)
 
     @property
     def m_pad(self) -> int:
