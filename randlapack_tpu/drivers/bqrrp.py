@@ -104,9 +104,15 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
     cols = jnp.arange(w)
     Qp = Q[:, :q_hi]
 
+    # Column retirement is MASK-based inside the stage: full-width column
+    # permutations (two m×w gathers per block) run at only ~90 GB/s on TPU
+    # and cost as much as the trailing GEMMs, so instead the chosen pivots
+    # stay in place, a `retired` mask excludes them, and ONE permutation at
+    # the stage end restores the positional invariant the next (narrower)
+    # stage window relies on.
     def block(i, carry):
-        A_work, A_sk, Qp, R, J, fail = carry
-        c = i * b              # local offset; global = g0 + c
+        A_work, A_sk, Qp, R, order, retired, fail = carry
+        c = i * b              # local block offset; global = g0 + c
         if cfg.shard_axis is not None:
             from jax.sharding import PartitionSpec as _P
             A_work = jax.lax.with_sharding_constraint(
@@ -114,11 +120,10 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
             Qp = jax.lax.with_sharding_constraint(
                 Qp, _P(cfg.shard_axis, None))
 
-        # -- qrcp_wide: LU pivots on the live sketch window --------------
-        active = cols >= c
-        A_sk_m = A_sk * active[None, :].astype(dtype)
+        # -- qrcp_wide: LU pivots on the masked live sketch ---------------
+        live = 1.0 - retired
+        A_sk_m = A_sk * live[None, :]
         if cfg.pivot_candidates is not None:
-            # preselect top-norm candidate columns, LU only on those
             n_cand = min(w, cfg.pivot_candidates * b)
             norms2 = jnp.sum(A_sk_m * A_sk_m, axis=0)
             _, cand = jax.lax.top_k(norms2, n_cand)
@@ -128,29 +133,18 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
         else:
             _, _, perm_lu = jax.lax.linalg.lu(A_sk_m.T)
             chosen = perm_lu[:b]
-        pos = jnp.zeros((w,), jnp.int32).at[chosen].set(
-            jnp.arange(b, dtype=jnp.int32))
-        is_chosen = jnp.zeros((w,), bool).at[chosen].set(True)
-        key_ = jnp.where(cols < c, cols,
-                         jnp.where(is_chosen, w + pos, 2 * w + cols))
-        perm = jnp.argsort(key_)
-        A_work = jnp.take(A_work, perm, axis=1)
-        A_sk = jnp.take(A_sk, perm, axis=1)
-        R = jnp.take(R, perm, axis=1)
-        J = jnp.take(J, perm)
 
-        # -- panel QR: sketch-preconditioned CholQR ----------------------
-        A_sk_panel = jax.lax.dynamic_slice(A_sk, (0, c), (d, b))
-        panel = jax.lax.dynamic_slice(A_work, (0, c), (m, b))
+        # -- panel QR: sketch-preconditioned CholQR -----------------------
+        A_sk_panel = jnp.take(A_sk, chosen, axis=1)     # (d, b) gather
+        panel = jnp.take(A_work, chosen, axis=1)        # (m, b) gather
         if cfg.block_reorth:
             # BCGS2 against the filled basis prefix; correction folded
-            # into R's earlier rows so the factorization stays exact.
+            # into R's earlier rows at the chosen columns.
             proj = jnp.matmul(Qp.T, panel, precision=precision)  # (q_hi, b)
             panel = panel - jnp.matmul(Qp, proj, precision=precision)
-            Rpan = jax.lax.dynamic_slice(R, (0, c), (R.shape[0], b))
             projK = jnp.zeros((R.shape[0], b), dtype)
             projK = jax.lax.dynamic_update_slice(projK, proj, (0, 0))
-            R = jax.lax.dynamic_update_slice(R, Rpan + projK, (0, c))
+            R = R.at[:, chosen].add(projK)
         if cfg.qr_tall == QRTall.cholqr:
             _, R_sk = qr_econ(A_sk_panel)
             R_sk = _safe_triu_diag(R_sk, dtype)
@@ -168,10 +162,10 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
             failp = jnp.asarray(False)
         R11 = jnp.triu(R11)
 
-        # -- trailing update (apply_trans_q) over the window --------------
+        # -- trailing update over the (masked) window ---------------------
         T = jnp.matmul(Q_panel.T, A_work, precision=precision)   # (b, w)
-        T = jnp.where(active[None, :], T, 0.0)
-        T = jax.lax.dynamic_update_slice(T, R11, (0, c))
+        T = T * live[None, :]
+        T = T.at[:, chosen].set(R11)                    # exact panel block
         A_work = A_work - jnp.matmul(Q_panel, T, precision=precision)
 
         # -- sketch downdate ----------------------------------------------
@@ -180,15 +174,32 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
             left_side=False, lower=False)
         A_sk = A_sk - jnp.matmul(SQ, T, precision=precision)
 
-        # -- commit: Q column block (global position g0+c), R row block ---
+        # -- commit -------------------------------------------------------
         Qp = jax.lax.dynamic_update_slice(Qp, Q_panel, (0, g0 + c))
         R = jax.lax.dynamic_update_slice(R, T, (g0 + c, 0))
-        return A_work, A_sk, Qp, R, J, fail | failp
+        order = jax.lax.dynamic_update_slice(order, chosen, (c,))
+        retired = retired.at[chosen].set(1.0)
+        return A_work, A_sk, Qp, R, order, retired, fail | failp
 
-    carry = (A_loc, A_sk_loc, Qp, R_loc, J_loc, fail)
-    A_loc, A_sk_loc, Qp, R_loc, J_loc, fail = jax.lax.fori_loop(
+    order0 = jnp.zeros((w,), jnp.int32)
+    retired0 = jnp.zeros((w,), dtype)
+    carry = (A_loc, A_sk_loc, Qp, R_loc, order0, retired0, fail)
+    A_loc, A_sk_loc, Qp, R_loc, order, retired, fail = jax.lax.fori_loop(
         0, nblocks, block, carry)
     Q = Q.at[:, :q_hi].set(Qp)
+
+    # stage-end permutation: pivots (in selection order) move to the front,
+    # the rest keep relative order — restores the positional layout for the
+    # next stage window and for the final outputs.
+    k_sel = nblocks * b
+    pos = jnp.zeros((w,), jnp.int32).at[order[:k_sel]].set(
+        jnp.arange(k_sel, dtype=jnp.int32))
+    key_ = jnp.where(retired > 0, pos, k_sel + cols)
+    perm = jnp.argsort(key_)
+    A_loc = jnp.take(A_loc, perm, axis=1)
+    A_sk_loc = jnp.take(A_sk_loc, perm, axis=1)
+    R_loc = jnp.take(R_loc, perm, axis=1)
+    J_loc = jnp.take(J_loc, perm)
     return A_loc, A_sk_loc, Q, R_loc, J_loc, fail
 
 
