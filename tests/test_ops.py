@@ -116,3 +116,43 @@ class TestUtil:
         np.testing.assert_allclose(
             np.asarray(util.col_swap(util.col_swap(A, J), inv)),
             np.asarray(A))
+
+
+class TestUtilCoverage:
+    def test_normc(self):
+        A = jnp.asarray([[3.0, 0.0], [4.0, 0.0]])
+        N = util.normc(A)
+        np.testing.assert_allclose(np.asarray(jnp.linalg.norm(N, axis=0)),
+                                   [1.0, 0.0], atol=1e-15)
+
+    def test_fro_and_rank(self):
+        A, _ = mat_gen(MatGenInfo(50, 30, MatType.exponential,
+                                  cond_num=10), RNGState(60))
+        assert abs(float(util.fro_norm(A))
+                   - np.linalg.norm(np.asarray(A))) < 1e-12
+        assert int(util.rank_check(A)) == 30
+        B = jnp.concatenate([A[:, :10], A[:, :10]], axis=1)
+        assert int(util.rank_check(B)) == 10
+
+    def test_diag_and_search(self):
+        R = jnp.diag(jnp.asarray([3.0, 2.0, 1.0, 1e-13]))
+        assert bool(util.diag_is_nonzero(R, tol=1e-14))
+        assert not bool(util.diag_is_nonzero(R, tol=1e-12))
+        s = jnp.asarray([5.0, 1.0, 0.1, 1e-9])
+        assert int(util.rank_search_binary(s, 1e-3)) == 3
+
+    def test_compose_pivots(self):
+        J1 = jnp.asarray([2, 0, 1], jnp.int32)
+        J2 = jnp.asarray([1, 2, 0], jnp.int32)
+        # applying J1 then J2 == composed gather
+        x = jnp.asarray([10.0, 20.0, 30.0])
+        step = jnp.take(jnp.take(x, J1), J2)
+        composed = jnp.take(x, util.compose_pivots(J1, J2))
+        np.testing.assert_allclose(np.asarray(step), np.asarray(composed))
+
+    def test_require(self):
+        from randlapack_tpu.errors import RandLAPACKError, require
+        require(True, "fine")
+        import pytest as _pt
+        with _pt.raises(RandLAPACKError, match="boom"):
+            require(False, "boom")

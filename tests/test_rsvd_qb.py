@@ -135,3 +135,30 @@ class TestBatching:
             s_ref = np.linalg.svd(np.asarray(As[i]), compute_uv=False)
             np.testing.assert_allclose(np.asarray(S[i][:8]), s_ref[:8],
                                        rtol=1e-4)
+
+
+class TestDifferentiability:
+    def test_grad_through_qb_and_rsvd(self):
+        # functional-core bonus: randomized factorizations are exactly
+        # differentiable (RNG held fixed) — no reference analogue
+        A, st = mat_gen(MatGenInfo(96, 64, MatType.exponential,
+                                   cond_num=100), RNGState(0))
+
+        def loss_qb(A):
+            Q, B, errs, _ = qb_blocked(A, 32, QBConfig(block_size=16),
+                                       RNGState(1))
+            return jnp.sum(jnp.square(A - Q @ B))
+
+        g = jax.grad(loss_qb)(A)
+        e = 1e-6
+        fd = (loss_qb(A.at[3, 5].add(e)) - loss_qb(A)) / e
+        np.testing.assert_allclose(float(g[3, 5]), float(fd), rtol=1e-4)
+
+        def loss_rsvd(A):
+            U, S, Vt, err, _ = rsvd_fixed_rank(
+                A, 16, RSVDConfig(QBConfig(block_size=16)), RNGState(2))
+            return jnp.sum(S[:4])
+
+        g2 = jax.grad(loss_rsvd)(A)
+        fd2 = (loss_rsvd(A.at[2, 2].add(e)) - loss_rsvd(A)) / e
+        np.testing.assert_allclose(float(g2[2, 2]), float(fd2), rtol=1e-4)
