@@ -7,6 +7,7 @@ from .syps import SYPSConfig, syps
 from .syrf import SYRFConfig, syrf
 from .rpchol import RPCholConfig, rp_cholesky
 from .determiter import (PCGConfig, PCGSaddleConfig, pcg, pcg_saddle)
+from .lsqr import LSQRConfig, lsqr
 from .preconditioners import (make_right_orthogonalizer, nystrom_pc_data,
                               rpc_data_svd_saso, rpchol_pc_data)
 
@@ -14,5 +15,6 @@ __all__ = ["Stab", "orth", "stabilize", "RSConfig", "rs", "RFConfig", "rf",
            "QBConfig", "qb", "qb_blocked", "SYPSConfig", "syps",
            "SYRFConfig", "syrf", "RPCholConfig", "rp_cholesky",
            "PCGConfig", "PCGSaddleConfig", "pcg", "pcg_saddle",
+           "LSQRConfig", "lsqr",
            "make_right_orthogonalizer", "nystrom_pc_data",
            "rpc_data_svd_saso", "rpchol_pc_data"]

@@ -27,6 +27,10 @@ class SPLSConfig:
                                   # "svd": V/√(σ²+μ) (the
                                   # reference's rpc_data_svd path — handles
                                   # μ>0 and rank deficiency)
+    solver: str = "pcg"           # "pcg" (normal equations, the
+                                  # reference's path) | "lsqr" (works on A
+                                  # directly: attainable x-accuracy κ·eps
+                                  # instead of κ²·eps)
     pcg: PCGSaddleConfig = PCGSaddleConfig()
 
 
@@ -55,6 +59,12 @@ def spls(A: jax.Array, b: jax.Array, mu, cfg: SPLSConfig, state: RNGState,
         V_sk, sigma_sk, state = rpc_data_svd_saso(A, d, state, cfg.vec_nnz,
                                                   precision=precision)
         M, _ = make_right_orthogonalizer(V_sk, sigma_sk, mu)
+    if cfg.solver == "lsqr":
+        from ..comps.lsqr import LSQRConfig, lsqr
+        assert b.ndim == 1 or b.shape[1] == 1, "lsqr path is single-rhs"
+        lcfg = LSQRConfig(tol=cfg.pcg.tol, max_iters=cfg.pcg.max_iters)
+        x, hist, iters = lsqr(A, b, M, lcfg, precision)
+        return x, hist, iters, state
     x0 = jnp.zeros((n,) + b.shape[1:], A.dtype)
     c = jnp.zeros_like(x0)
     if b.ndim == 1:

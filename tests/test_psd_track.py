@@ -210,3 +210,33 @@ class TestKrill:
                 (K + mu * jnp.eye(n)) @ Xs[:, i] - H[:, i])
                 / jnp.linalg.norm(H[:, i]))
             assert res < 1e-6, (i, res)
+
+
+class TestLSQR:
+    def test_plain_lsqr(self):
+        from randlapack_tpu.comps import LSQRConfig, lsqr
+        A, _ = mat_gen(MatGenInfo(300, 40, MatType.exponential,
+                                  cond_num=50), RNGState(40))
+        xt = jax.random.normal(jax.random.key(40), (40,), dtype=jnp.float64)
+        b = A @ xt
+        x, hist, it = lsqr(A, b, None, LSQRConfig(tol=1e-12, max_iters=500))
+        np.testing.assert_allclose(np.asarray(x), np.asarray(xt), atol=1e-8)
+
+    def test_preconditioned_beats_normal_equations_at_high_cond(self):
+        # kappa = 1e8: normal equations floor ~ kappa^2*eps = 1; LSQR on the
+        # preconditioned system reaches ~kappa*eps = 1e-8
+        A, _ = mat_gen(MatGenInfo(4000, 80, MatType.exponential,
+                                  cond_num=1e8), RNGState(41))
+        xt = jax.random.normal(jax.random.key(41), (80,), dtype=jnp.float64)
+        b = A @ xt
+        cfg_l = SPLSConfig(solver="lsqr", precond="qr")
+        x_l, _, it_l, _ = spls(A, b, 0.0, cfg_l, RNGState(42))
+        rel_l = float(jnp.linalg.norm(x_l - xt) / jnp.linalg.norm(xt))
+        cfg_p = SPLSConfig(solver="pcg", precond="svd")
+        x_p, _, it_p, _ = spls(A, b, 0.0, cfg_p, RNGState(42))
+        rel_p = float(jnp.linalg.norm(x_p - xt) / jnp.linalg.norm(xt))
+        # measured: lsqr 7.9e-5 vs pcg 8.2e-2 at kappa=1e8 (1000x better;
+        # both paths floor well above their theoretical bounds here, but
+        # the ordering is the point)
+        assert rel_l < 1e-3, rel_l
+        assert rel_l < rel_p / 10, (rel_l, rel_p)
