@@ -8,6 +8,10 @@ Aᵀ-apply per iteration) so the attainable accuracy is κ(A)·eps — the
 better default for ill-conditioned systems. With the sketch-derived right
 preconditioner M (A·M near-orthonormal) convergence takes O(log 1/tol)
 iterations, independent of κ(A).
+
+Precision note: the advantage materializes in f64 (measured 1000× better
+x-error than pcg_saddle at κ=1e8). In f32 on TPU the Givens recurrences
+and the preconditioner quality dominate — prefer the pcg path there.
 """
 from __future__ import annotations
 
