@@ -203,3 +203,47 @@ class TestSparseViews:
         v = op.row_block(5, 30).col_block(2, 20)
         np.testing.assert_allclose(np.asarray(v.to_dense()),
                                    np.asarray(dense[5:30, 2:20]), atol=1e-14)
+
+
+@pytest.mark.parametrize("tag", TAGS)
+class TestViewAlgebra:
+    """Deep block-view battery (reference: test_linop_block_views.cc)."""
+
+    def test_view_of_view(self, tag):
+        op, ref = make_op(tag)
+        v = op.row_block(4, 36).col_block(2, 26)
+        w = v.row_block(8, 24).col_block(4, 20)
+        expect = ref[4:36, 2:26][8:24, 4:20]
+        X = _dense(70, (expect.shape[1], S))
+        np.testing.assert_allclose(np.asarray(w.matmat(X)),
+                                   np.asarray(expect @ X), atol=1e-12)
+
+    def test_view_transpose_apply(self, tag):
+        op, ref = make_op(tag)
+        v = op.row_block(4, 36)
+        expect = ref[4:36, :]
+        X = _dense(71, (32, S))
+        np.testing.assert_allclose(np.asarray(v.tmatmat(X)),
+                                   np.asarray(expect.T @ X), atol=1e-12)
+
+    def test_view_rmatmat(self, tag):
+        op, ref = make_op(tag)
+        v = op.col_block(6, 22)
+        expect = ref[:, 6:22]
+        X = _dense(72, (S, M))
+        np.testing.assert_allclose(np.asarray(v.rmatmat(X)),
+                                   np.asarray(X @ expect), atol=1e-12)
+
+    def test_view_materialize(self, tag):
+        from randlapack_tpu.linops import materialize, submatrix
+        op, ref = make_op(tag)
+        v = submatrix(op, 2, 30, 4, 24)
+        np.testing.assert_allclose(np.asarray(materialize(v)),
+                                   np.asarray(ref[2:30, 4:24]), atol=1e-12)
+
+    def test_full_range_view_identity(self, tag):
+        op, ref = make_op(tag)
+        v = op.row_block(0, op.n_rows).col_block(0, op.n_cols)
+        X = _dense(73, (N, S))
+        np.testing.assert_allclose(np.asarray(v.matmat(X)),
+                                   np.asarray(ref @ X), atol=1e-12)
