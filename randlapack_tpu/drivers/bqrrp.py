@@ -204,7 +204,7 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
 
 
 def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
-          precision=STABLE_PRECISION):
+          precision=STABLE_PRECISION, timing: bool = False):
     """Blocked randomized QRCP of A (any aspect ratio): A[:, J] ≈ Q R.
 
     Returns ``(Q, R, J, rank, fail, next_state)``:
@@ -212,7 +212,18 @@ def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
       K = min(m, n) (must be a multiple of ``cfg.block_size``),
       ``rank`` an int32 upper-bound estimate from diag(R),
       ``fail`` the CholQR breakdown flag.
+
+    ``timing=True`` additionally returns a phase-metrics dict as a 7th
+    element (the reference's 10-slot timing vector, rl_bqrrp.hh:584-607,
+    as named phases) — it synchronizes between phases, so use only when
+    measuring.
     """
+    from ..utils.timing import PhaseTimer, device_sync
+    timer = PhaseTimer() if timing else None
+
+    def _phase(name):
+        import contextlib
+        return timer.phase(name) if timing else contextlib.nullcontext()
     m, n = A.shape
     b = cfg.block_size
     K = min(m, n)
@@ -225,9 +236,12 @@ def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
     chunk = K // S
 
     # one-time sketch (rl_bqrrp.hh:306-312)
-    key, state = state.spawn()
-    Smat = jax.random.normal(key, (d, m), dtype=dtype) / math.sqrt(d)
-    A_sk = jnp.matmul(Smat, A, precision=precision)
+    with _phase("sketch"):
+        key, state = state.spawn()
+        Smat = jax.random.normal(key, (d, m), dtype=dtype) / math.sqrt(d)
+        A_sk = jnp.matmul(Smat, A, precision=precision)
+        if timing:
+            device_sync(A_sk)
 
     Q = jnp.zeros((m, K), dtype)
     R = jnp.zeros((K, n), dtype)
@@ -244,9 +258,12 @@ def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
         A_sk_loc = A_sk[:, g0:] if s > 0 else A_sk
         R_loc = R[:, g0:] if s > 0 else R
         J_loc = J[g0:] if s > 0 else J
-        A_loc, A_sk_loc, Q, R_loc, J_loc, fail = _stage(
-            A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg, g0, q_hi,
-            nblocks, precision)
+        with _phase(f"stage_{s}"):
+            A_loc, A_sk_loc, Q, R_loc, J_loc, fail = _stage(
+                A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg, g0, q_hi,
+                nblocks, precision)
+            if timing:
+                device_sync(Q)
         if S > 1:
             A_work = A_work.at[:, g0:].set(A_loc) if s + 1 < S else A_work
             A_sk = A_sk.at[:, g0:].set(A_sk_loc) if s + 1 < S else A_sk
@@ -255,6 +272,8 @@ def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
         else:
             R, J = R_loc, J_loc
 
+    _fo = _phase("final_orth")
+    _fo.__enter__()
     for _ in range(cfg.final_orth):
         # final-orth pass with shift rescue: on degenerate Q (rank-deficient
         # input → fallback panels can collide) the unshifted Cholesky breaks;
@@ -275,8 +294,14 @@ def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
         R = jnp.matmul(L.T, R, precision=precision)
         fail = fail | bad
 
+    if timing:
+        device_sync(Q)
+    _fo.__exit__(None, None, None)
+
     diag = jnp.diag(R[:, :K])
     eps = jnp.finfo(dtype).eps
     tol = jnp.abs(diag[0]) * jnp.sqrt(jnp.asarray(eps, dtype))
     rank = util.naive_rank_est(diag, tol)
+    if timing:
+        return Q, R, J, rank, fail, state, timer.report()
     return Q, R, J, rank, fail, state
