@@ -180,3 +180,24 @@ class TestCQRRPTOrthogonalization:
         res = float(jnp.linalg.norm(Q[:, :r] @ R[:r] - util.col_swap(A, J))
                     / jnp.linalg.norm(A))
         assert res < ATOL * 10
+
+
+class TestPivotCandidatesAdversarial:
+    def test_coherent_matrix_stays_correct(self):
+        # high-coherence input (duplicated columns): top-norm preselection
+        # can starve the LU of independent candidates — the factorization
+        # must stay correct (fallbacks engage) even if pivot quality drops
+        from randlapack_tpu.gen import adversarial_matrix
+        A, _ = adversarial_matrix(400, 200, RNGState(70), jnp.float64,
+                                  n_copies=4)
+        for pc in (None, 2):
+            Q, R, J, rank, fail, _ = bqrrp(
+                A, BQRRPConfig(block_size=50, pivot_candidates=pc),
+                RNGState(71))
+            res = float(jnp.linalg.norm(Q @ R - util.col_swap(A, J))
+                        / jnp.linalg.norm(A))
+            assert res < 1e-10, (pc, res)
+            assert bool(jnp.all(jnp.isfinite(Q))), pc
+            # the ~50 independent directions are found either way
+            d = np.abs(np.diag(np.asarray(R)))
+            assert np.sum(d > 1e-6 * d[0]) >= 50, pc
