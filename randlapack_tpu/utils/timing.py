@@ -64,6 +64,22 @@ class PhaseTimer:
 
 
 @contextlib.contextmanager
+def debug_checks():
+    """Enable jax NaN debugging for the scope — the framework's analogue
+    of the reference's AddressSanitizer CI lanes (SURVEY.md §5.2): traced
+    code fails fast at the op that produced a NaN instead of propagating
+    it into the breakdown-flag logic. Use in tests/debugging only (it
+    disables async dispatch)."""
+    import jax
+    prev = jax.config.jax_debug_nans
+    jax.config.update("jax_debug_nans", True)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_debug_nans", prev)
+
+
+@contextlib.contextmanager
 def profile_trace(log_dir: str):
     """jax.profiler trace wrapper (XLA/device-level breakdown — the
     replacement for the reference's NVTX annotations)."""

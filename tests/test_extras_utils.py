@@ -138,3 +138,14 @@ class TestTestingHelpers:
         assert qb_status([0.5, 0.1, 1e-8], 1e-6) == QB_OK
         assert qb_status([0.5, 0.1, 0.01], 1e-6) == QB_RANK_EXHAUSTED
         assert qb_status([0.5, 0.1, 0.2], 1e-6) == QB_ERROR_GREW
+
+    def test_debug_checks(self):
+        from randlapack_tpu.utils import debug_checks
+        import jax as _jax
+        import jax.numpy as _jnp
+        import pytest as _pt
+        with debug_checks():
+            with _pt.raises(FloatingPointError):
+                _jax.jit(lambda x: _jnp.log(x) * 0 + _jnp.sqrt(x))(
+                    _jnp.asarray(-1.0))
+        assert not _jax.config.jax_debug_nans
