@@ -14,9 +14,10 @@ TPU redesign:
     (SURVEY.md §7 recommends explicit-Q primary). A cheap final CholQR
     pass on the finished Q restores machine-grade orthogonality.
   * Static shapes: one jitted lax.fori_loop over blocks. Column
-    retirement is positional — a per-block permutation (argsort of a
-    composite key) moves the b chosen pivots into place and is applied to
-    A, the sketch, R's columns, and J together.
+    retirement is MASK-based — chosen pivots stay in place behind a
+    retired mask (full-width column-permutation gathers measured ~90 GB/s
+    on TPU, rivaling the trailing GEMMs); a single permutation per stage
+    restores the positional layout for the next window and the outputs.
   * ``stages > 1`` splits the column space into S statically-shrinking
     windows (a host loop of S jitted stage graphs): trailing updates and
     sketch downdates then run at the window width instead of full n,
