@@ -69,7 +69,7 @@ def main():
     n = 8192
     log(f"[bench] BQRRP {n}x{n} ...")
     A, st = fast_decay_matrix(n, n, RNGState(0), dtype=dtype)
-    cfg = BQRRPConfig(block_size=512, stages=4, pivot_candidates=4)
+    cfg = BQRRPConfig(block_size=512, stages=2, pivot_candidates=4)
     (Q, R, J, rank, fail, _), t = timed(lambda a, s: bqrrp(a, cfg, s), A, st)
     qr_flops = 4.0 / 3.0 * n ** 3
     gflops = qr_flops / t / 1e9
