@@ -157,3 +157,35 @@ class TestLinopDrivers:
         G = blocked_gram(comp, block=20)
         ref = np.asarray((A1 @ A2).T @ (A1 @ A2))
         np.testing.assert_allclose(np.asarray(G), ref, rtol=1e-9)
+
+
+class TestABRIKMore:
+    def test_replayable(self):
+        A, _ = mat_gen(MatGenInfo(200, 150, MatType.exponential,
+                                  cond_num=1e4), RNGState(80))
+        cfg = ABRIKConfig(block_size=10, max_iters=4)
+        U1, S1, V1, _, _ = abrik(A, 10, cfg, RNGState(81))
+        U2, S2, V2, _, _ = abrik(A, 10, cfg, RNGState(81))
+        np.testing.assert_array_equal(np.asarray(S1), np.asarray(S2))
+
+    def test_tall_and_wide(self):
+        # ABRIK handles both aspect ratios
+        for m, n in ((300, 120), (120, 300)):
+            A, _ = mat_gen(MatGenInfo(m, n, MatType.exponential,
+                                      cond_num=1e4), RNGState(82))
+            U, S, Vt, _, _ = abrik(A, 8, ABRIKConfig(block_size=8,
+                                                     max_iters=6),
+                                   RNGState(83))
+            s_ref = np.linalg.svd(np.asarray(A), compute_uv=False)
+            np.testing.assert_allclose(np.asarray(S[:4]), s_ref[:4],
+                                       rtol=1e-6)
+
+    def test_reorth_passes_config(self):
+        A, _ = mat_gen(MatGenInfo(200, 150, MatType.exponential,
+                                  cond_num=1e8), RNGState(84))
+        for rp in (1, 2):
+            U, S, Vt, _, _ = abrik(A, 8, ABRIKConfig(block_size=8,
+                                                     max_iters=6,
+                                                     reorth_passes=rp),
+                                   RNGState(85))
+            assert float(util.orthogonality_check(U)) < 1e-8, rp
