@@ -61,7 +61,7 @@ def nystrom_pc_data(A, k: int, state: RNGState, mus,
     Returns ``(V, lam, k_used, next_state)``.
     """
     from ..drivers.revd2 import REVD2Config, revd2
-    V, lam, k_used, _, state = revd2(A, k, tol, REVD2Config(), state,
+    V, lam, k_used, _, _, state = revd2(A, k, tol, REVD2Config(), state,
                                      precision=precision)
     return V, lam, k_used, state
 

@@ -71,7 +71,9 @@ def qb_blocked(A: jax.Array, k: int, cfg: QBConfig, state: RNGState,
         return A_work, Q, B, errs
 
     _, Q, B, errs = jax.lax.fori_loop(0, nblocks, block, (A, Q, B, errs))
-    return Q, B, errs, base.branch(-2)
+    # advance the counter so later branch()/spawn() streams differ from the
+    # per-block streams consumed above (branch folds the counter in)
+    return Q, B, errs, base.spawn()[1]
 
 
 # Status codes mirroring the reference QB's return codes 0–6

@@ -89,4 +89,6 @@ def rp_cholesky(A, k: int, cfg: RPCholConfig, state: RNGState,
         return F, piv, d
 
     F, piv, _ = jax.lax.fori_loop(0, nblocks, block, (F0, piv0, diag0))
-    return F, piv, base.branch(-2)
+    # advance the counter so later branch()/spawn() streams differ from the
+    # per-block streams consumed above (branch folds the counter in)
+    return F, piv, base.spawn()[1]

@@ -23,9 +23,17 @@ TPU redesign:
     sketch downdates then run at the window width instead of full n,
     recovering most of the ≤2× full-width FLOP overhead at the cost of S
     compilations.
-  * Sketch downdate uses S·Q_panel = A_sk_panel·R₁₁⁻¹ (exact in exact
-    arithmetic since Q_panel = A_panel·R₁₁⁻¹): one triangular solve + one
-    rank-b GEMM — the same math as the reference's trsm+gemm downdate.
+  * Sketch downdate uses S·Q_panel ≈ A_sk_panel·R₁₁⁻¹ (exact in exact
+    arithmetic *without* block_reorth, since then Q_panel = A_panel·R₁₁⁻¹):
+    one triangular solve + one rank-b GEMM — the same math as the
+    reference's trsm+gemm downdate. With ``block_reorth=True`` the panel
+    is first BCGS2-corrected (panel −= Qp·proj), so the identity drops a
+    (S·Qp)·proj·R₁₁⁻¹ term — but proj = Qpᵀ·A_work is itself the GS drift
+    of the already-deflated trailing matrix, O(ε·‖A‖), so the omitted term
+    is O(ε·‖A‖·κ(R₁₁)): below pivot-selection resolution, and the
+    factorization itself is unaffected (the exact panel block of R is
+    written from R₁₁, not the sketch). Tracking it exactly would cost a
+    d×K GEMM per block in a chain that is op-latency-bound on TPU.
 """
 from __future__ import annotations
 

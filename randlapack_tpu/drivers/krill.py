@@ -42,7 +42,8 @@ def krill_full_rpchol(G, H: jax.Array, mus, cfg: KrillConfig,
                      (int(math.isqrt(n)) // cfg.rpchol_block)
                      * cfg.rpchol_block)
     V, lam, piv, state = rpchol_pc_data(G.with_reg(False), k, state,
-                                        cfg.rpchol_block, precision)
+                                        block_size=cfg.rpchol_block,
+                                        precision=precision)
     P = SpectralPrecond.prep(V, lam, mus_arr)
     G_reg = G.with_reg(True)
     X0 = jnp.zeros_like(H)

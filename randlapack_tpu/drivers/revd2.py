@@ -11,6 +11,7 @@ jit-cached).
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import partial
 
 import jax
@@ -56,9 +57,11 @@ def revd2_fixed_rank(A, k: int, cfg: REVD2Config, state: RNGState,
                      precision=STABLE_PRECISION):
     """Rank-k Nyström EVD of PSD A (dense or symmetric linop).
 
-    Returns ``(V, lam, err_est, next_state)`` with A ≈ V diag(lam) Vᵀ,
-    V (n,k) orthonormal, lam descending, ``err_est`` the estimated
-    2-norm residual.
+    Returns ``(V, lam, err_est, nu, fail, next_state)`` with
+    A ≈ V diag(lam) Vᵀ, V (n,k) orthonormal, lam descending, ``err_est``
+    the estimated 2-norm residual, ``nu`` the Nyström shift (the reference
+    compares err ≤ 5·max(tol, ν), rl_revd2.hh:238-244), and ``fail`` True
+    on Cholesky breakdown (NaNs would otherwise propagate silently).
     """
     Q, state = syrf(A, k, cfg.syrf, state, precision)
     Y = _apply_sym(A, Q, precision)
@@ -78,20 +81,27 @@ def revd2_fixed_rank(A, k: int, cfg: REVD2Config, state: RNGState,
     lam = jnp.maximum(S * S - nu, 0.0)
     err, state = _power_error_est(A, V, lam, cfg.error_est_passes, state,
                                   precision)
-    return V, lam, err, state
+    return V, lam, err, nu, fail, state
 
 
 def revd2(A, k: int, tol: float, cfg: REVD2Config, state: RNGState,
           k_max: int | None = None, precision=STABLE_PRECISION):
-    """Adaptive REVD2: doubles k until err_est ≤ 5·max(tol·‖A‖-scale, ν).
+    """Adaptive REVD2: doubles k until err_est ≤ 5·max(tol, ν)
+    (rl_revd2.hh:238-244).
 
-    Returns ``(V, lam, k_used, err, next_state)``.
+    Returns ``(V, lam, k_used, err, fail, next_state)``. ``fail`` is True
+    if the final fixed-rank call broke down (Cholesky NaN or NaN error
+    estimate) — the loop stops doubling on breakdown rather than running
+    to k_max on garbage.
     """
     n = A.dim if hasattr(A, "dim") else A.shape[0]
     k_max = k_max or n
     while True:
-        V, lam, err, state = revd2_fixed_rank(A, k, cfg, state, precision)
+        V, lam, err, nu, fail, state = revd2_fixed_rank(A, k, cfg, state,
+                                                        precision)
         err_h = float(err)
-        if err_h <= 5 * max(tol, 0.0) or 2 * k > min(k_max, n):
-            return V, lam, k, err_h, state
+        failed = bool(fail) or math.isnan(err_h)
+        if (failed or err_h <= 5 * max(tol, float(nu))
+                or 2 * k > min(k_max, n)):
+            return V, lam, k, err_h, failed, state
         k = 2 * k

@@ -102,8 +102,9 @@ def dist_rsvd(A: jax.Array, k: int, mesh: Mesh, state: RNGState,
               precision=STABLE_PRECISION):
     """Fixed-rank randomized SVD of a row-sharded A: one sharded
     rangefinder cycle per power iteration (distributed CholQR2), then a
-    replicated small SVD. Returns ``(U, S, Vt, next_state)`` with U
-    sharded like A."""
+    replicated small SVD. Returns ``(U, S, Vt, fail, next_state)`` with U
+    sharded like A; ``fail`` ORs the CholQR breakdown flags of every
+    rangefinder step (the repo convention: breakdown is a returned flag)."""
     from .distributed import dist_rangefinder_step
     from ..ops.svd import svd_econ
 
@@ -112,9 +113,11 @@ def dist_rsvd(A: jax.Array, k: int, mesh: Mesh, state: RNGState,
     Omega = jax.random.normal(key, (n, k), dtype=A.dtype)
 
     Q = B = None
+    fail = jnp.asarray(False)
     for _ in range(max(power_iters, 1)):
-        Q, B, Omega, fail = dist_rangefinder_step(A, Omega, mesh, axis,
-                                                  precision)
+        Q, B, Omega, step_fail = dist_rangefinder_step(A, Omega, mesh, axis,
+                                                       precision)
+        fail = fail | step_fail
     Ub, S, Vt = svd_econ(B, precision=precision)
     U = jnp.matmul(Q, Ub, precision=precision)
-    return U, S, Vt, state
+    return U, S, Vt, fail, state

@@ -57,9 +57,10 @@ def dist_rangefinder_step(A: jax.Array, Omega: jax.Array, mesh: Mesh,
             q = jax.lax.linalg.triangular_solve(l.T, q, left_side=False,
                                                 lower=False)
         b = jax.lax.psum(jnp.matmul(q.T, a, precision=precision), axis)
-        om_new = jax.lax.psum(jnp.matmul(a.T, y, precision=precision), axis)
-        om_new = om_new / jnp.maximum(jnp.linalg.norm(om_new),
-                                      jnp.finfo(a.dtype).tiny)
+        # power refresh with the orthonormal basis (Ω' = AᵀQ = Bᵀ): refreshing
+        # with the raw Y squares the conditioning per iteration and breaks
+        # f32 CholQR on decaying spectra
+        om_new = b.T
         return q, b, om_new, fail
 
     return shard_map(local, mesh=mesh,

@@ -56,8 +56,15 @@ class RNGState:
         return draw_key, nxt
 
     def branch(self, i: int = 1):
-        """Independent stream — the analogue of ``state.key.incr(i)``."""
-        new_key = jax.random.fold_in(self.key, jnp.int32(-1 - i))
+        """Independent stream — the analogue of ``state.key.incr(i)``.
+
+        Folds in both the counter and a negative-domain branch index, so
+        (a) sibling states (same key, different counters) yield distinct
+        branch streams, and (b) branch keys never collide with the
+        nonnegative ``spawn`` draw-key domain ``fold_in(key, counter)``.
+        """
+        base = jax.random.fold_in(self.key, self.counter)
+        new_key = jax.random.fold_in(base, jnp.int32(-1) - jnp.int32(i))
         return RNGState(_key=new_key, _counter=jnp.zeros((), jnp.int32))
 
     def __repr__(self):

@@ -90,7 +90,8 @@ class TestREVD2Linop:
                                                   dtype=jnp.float64))
         op = SquaredExpKernelLinOp(X, 1.5, 0.0, evals_include_reg=False,
                                    block=64)
-        V, lam, err, _ = revd2_fixed_rank(op, 32, REVD2Config(), RNGState(6))
+        V, lam, err, _, fail, _ = revd2_fixed_rank(op, 32, REVD2Config(), RNGState(6))
+        assert not bool(fail)
         from randlapack_tpu.pdkernels import squared_exp_kernel
         K = squared_exp_kernel(X, X, 1.5)
         w = np.linalg.eigvalsh(np.asarray(K))[::-1]
@@ -98,9 +99,9 @@ class TestREVD2Linop:
 
     def test_explicit_sym_matches_dense(self):
         A = _spd(128, 1e4, 7)
-        V1, l1, e1, _ = revd2_fixed_rank(ExplicitSymLinOp(A), 16,
+        V1, l1, e1, _, _, _ = revd2_fixed_rank(ExplicitSymLinOp(A), 16,
                                          REVD2Config(), RNGState(8))
-        V2, l2, e2, _ = revd2_fixed_rank(A, 16, REVD2Config(), RNGState(8))
+        V2, l2, e2, _, _, _ = revd2_fixed_rank(A, 16, REVD2Config(), RNGState(8))
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                    rtol=1e-12)
 

@@ -112,7 +112,8 @@ class TestDistDrivers:
         s = gen_exp_singvals(48, 1e6, jnp.float64)
         A, _ = gen_singvec(640, 48, s, RNGState(22))
         As = jax.device_put(A, row_sharded(mesh))
-        U, S, Vt, _ = dist_rsvd(As, 16, mesh, RNGState(23))
+        U, S, Vt, fail, _ = dist_rsvd(As, 16, mesh, RNGState(23))
+        assert not bool(fail)
         s_ref = np.linalg.svd(np.asarray(A), compute_uv=False)
         np.testing.assert_allclose(np.asarray(S[:8]), s_ref[:8], rtol=1e-4)
         Uh = np.asarray(U)

@@ -50,7 +50,8 @@ class TestREVD2:
         lam = jnp.concatenate([jnp.ones(10, jnp.float64),
                                1e-8 * jnp.ones(190, jnp.float64)])
         A, st = psd_from_eigvals(200, lam, RNGState(2))
-        V, lam_est, err, _ = revd2_fixed_rank(A, 16, REVD2Config(), st)
+        V, lam_est, err, _, fail, _ = revd2_fixed_rank(A, 16, REVD2Config(), st)
+        assert not bool(fail)
         assert float(util.orthogonality_check(V)) < 1e-12
         np.testing.assert_allclose(np.asarray(lam_est[:10]), 1.0, rtol=1e-6)
         assert float(err) < 1e-6
@@ -58,7 +59,7 @@ class TestREVD2:
     def test_adaptive_doubles(self):
         lam = gen_exp_singvals(256, 1e12, jnp.float64)
         A, st = psd_from_eigvals(256, lam, RNGState(3))
-        V, lam_est, k_used, err, _ = revd2(A, 8, tol=1e-6, cfg=REVD2Config(),
+        V, lam_est, k_used, err, fail, _ = revd2(A, 8, tol=1e-6, cfg=REVD2Config(),
                                            state=st, k_max=128)
         assert k_used >= 16  # must have doubled at least once
         assert err < 5 * 1e-6 * float(lam[0]) + 1e-5

@@ -151,7 +151,9 @@ class TestDifferentiability:
 
         g = jax.grad(loss_qb)(A)
         e = 1e-6
-        fd = (loss_qb(A.at[3, 5].add(e)) - loss_qb(A)) / e
+        # central difference: one-sided FD's O(e) truncation error is at
+        # the edge of rtol=1e-4 for this loss
+        fd = (loss_qb(A.at[3, 5].add(e)) - loss_qb(A.at[3, 5].add(-e))) / (2 * e)
         np.testing.assert_allclose(float(g[3, 5]), float(fd), rtol=1e-4)
 
         def loss_rsvd(A):
@@ -160,5 +162,5 @@ class TestDifferentiability:
             return jnp.sum(S[:4])
 
         g2 = jax.grad(loss_rsvd)(A)
-        fd2 = (loss_rsvd(A.at[2, 2].add(e)) - loss_rsvd(A)) / e
+        fd2 = (loss_rsvd(A.at[2, 2].add(e)) - loss_rsvd(A.at[2, 2].add(-e))) / (2 * e)
         np.testing.assert_allclose(float(g2[2, 2]), float(fd2), rtol=1e-4)
