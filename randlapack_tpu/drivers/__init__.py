@@ -7,7 +7,7 @@ from .revd2 import REVD2Config, revd2, revd2_fixed_rank
 from .krill import KrillConfig, krill_full_rpchol
 from .spls import SPLSConfig, spls
 from .abrik import ABRIKConfig, abrik, abrik_factor
-from .hqrrp import HQRRPConfig, hqrrp, hqrrp_lapack_format
+from .hqrrp import HQRRPConfig, PanelQR, hqrrp, hqrrp_lapack_format
 from .cholqr_linops import (CholQRLinopsConfig, CQRRTLinopsConfig,
                             blocked_gram, cholqr_linops, cqrrt_linops,
                             materialize_q, scholqr3_linops,
@@ -21,7 +21,7 @@ __all__ = ["RSVDConfig", "rsvd", "rsvd_fixed_rank",
            "KrillConfig", "krill_full_rpchol",
            "SPLSConfig", "spls",
            "ABRIKConfig", "abrik", "abrik_factor",
-           "HQRRPConfig", "hqrrp", "hqrrp_lapack_format",
+           "HQRRPConfig", "PanelQR", "hqrrp", "hqrrp_lapack_format",
            "CholQRLinopsConfig", "CQRRTLinopsConfig", "blocked_gram",
            "cholqr_linops", "cqrrt_linops", "materialize_q",
            "scholqr3_linops", "scholqr3_linops_basic"]

@@ -30,7 +30,10 @@ from ..ops import util
 
 
 class QRCPKind(enum.Enum):
+    """QRCP subroutine for the sketch — the reference's three-way switch
+    (rl_cqrrpt.hh:230-248, CQRRPTSubroutines::QRCP {geqp3,hqrrp,bqrrp})."""
     geqp3 = "geqp3"       # scan-based pivoted Householder on the sketch
+    hqrrp = "hqrrp"       # Householder QR with randomized pivoting
     bqrrp = "bqrrp"       # blocked randomized QRCP (for larger n)
 
 
@@ -80,6 +83,12 @@ def cqrrpt(A: jax.Array, cfg: CQRRPTConfig, state: RNGState,
     # 2. QRCP on the d×n sketch
     if cfg.qrcp == QRCPKind.geqp3:
         _, R_sk, J = geqp3(A_sk, want_q=False, precision=precision)
+    elif cfg.qrcp == QRCPKind.hqrrp:
+        from .hqrrp import HQRRPConfig, hqrrp_lapack_format
+        _, _, R_sk, J, state = hqrrp_lapack_format(
+            A_sk, HQRRPConfig(block_size=cfg.bqrrp_block), state,
+            precision)
+        R_sk = R_sk[:n, :]
     else:
         from .bqrrp import BQRRPConfig, bqrrp
         _, R_sk, J, _, _, state = bqrrp(

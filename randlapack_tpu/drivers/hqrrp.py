@@ -1,55 +1,261 @@
 """HQRRP — Householder QR with randomized pivoting (reference:
 RandLAPACK/drivers/rl_hqrrp.hh: hqrrp() :812; the
-Martinsson/Quintana-Ortí/Heavner/van de Geijn algorithm with WY-block
-updates and Gaussian sketch downdating).
+Martinsson/Quintana-Ortí/Heavner/van de Geijn algorithm).
 
-TPU mapping: the blocked randomized-pivoting engine is shared with BQRRP
-(same sketch-downdating skeleton, SURVEY.md §3.3); HQRRP is the
-Householder-panel instantiation (``qr_tall=hqr``, the reference's
-``GEQRF_mod_WY`` path) with GEQP3-compatible output available through the
-Householder reconstruction adapter. The reference's raw-Fortran WY
-machinery (dlarfb etc., rl_hqrrp.hh:74-169) is replaced by explicit-Q
-GEMM updates, which is how a WY "apply block reflector" maps to the MXU
-anyway (a WY application IS two GEMMs).
+A genuinely distinct driver from BQRRP — per block of ``b`` columns:
+
+  1. QRCP of the downdated sketch: ``b`` steps of unblocked Householder
+     QRCP with Drmač norm downdating on the live columns of Y = G·A
+     (``NoFLA_QRPmod_WY_unb_var4`` :557, norm downdate :360); the pivots
+     are applied to (V, A, Y) in lockstep (:415) — here realized as one
+     gather of the chosen columns instead of three synchronized swap
+     streams.
+  2. Panel factorization of A[:, chosen] with per-config ``qr_type``
+     (:1088): pivoted Householder QRCP (panel_pivoting=1, the default),
+     unpivoted Householder (``GEQRF_mod_WY`` :465), or CholQR with
+     Householder reconstruction (``CHOLQR_mod_WY`` :506 — the orhr_col
+     path).
+  3. Compact-WY trailing update A ← QᵀA on the live columns
+     (``NoFLA_Apply_Q_WY_lhfc_blk_var4`` :300) — two GEMMs on the MXU.
+  4. Sketch *downdating* instead of re-sketching (``NoFLA_Downdate_Y``
+     :207): G ← G·Q_blk, then Y₂ ← Y₂ − G_new[:, c:c+b]·R₁₂ — the exact
+     WY algebra, so Y stays the exact sketch of the trailing residual.
+
+TPU redesign notes:
+  * Static shapes: mask-based column retirement (chosen pivots stay in
+    place behind a ``retired`` mask), one permutation at the end; the
+    reference's three-matrix lockstep swaps become gathers/scatters of
+    the chosen block.
+  * Householder form all the way down: A is overwritten in place (R
+    above, reflector tails below, LAPACK packed layout), so Q is a
+    product of exact reflectors — machine-grade orthogonality with no
+    final re-orthogonalization pass. Explicit Q is materialized at the
+    end via ``householder_product``; the packed (A, taus) pair is the
+    native GEQP3-format output.
+  * The WY T factor is built in GEMM form (T⁻¹ = diag(1/τ) +
+    strict_upper(VᵀV)) instead of larft's column recurrence.
+  * Unlike the reference (which skips the sketch QRCP on the last
+    iteration, rl_hqrrp.hh:948,1029), the last block also selects pivots
+    from the sketch — strictly better pivot quality at negligible cost.
 """
 from __future__ import annotations
 
 import dataclasses
+import enum
+from functools import partial
 
 import jax
+import jax.numpy as jnp
 
 from ..config import STABLE_PRECISION
 from ..rng import RNGState
-from .bqrrp import BQRRPConfig, QRTall, bqrrp
-from ..ops.householder import householder_reconstruct
+from ..ops.qr import qrcp_select_pivots, qrcp_panel, wy_T
+from ..ops.cholqr import cholqr2
+from ..ops import util
+
+
+class PanelQR(enum.Enum):
+    qrcp = "qrcp"        # pivoted panels (reference panel_pivoting=1)
+    geqrf = "geqrf"      # qr_type 1: unpivoted Householder panels
+    cholqr = "cholqr"    # qr_type 2: CholQR + Householder reconstruction
 
 
 @dataclasses.dataclass(frozen=True)
 class HQRRPConfig:
-    block_size: int = 128
-    oversample: int = 10          # the reference's p (sketch rows = b + p)
+    block_size: int = 64
+    oversample: int = 10          # the reference's pp (sketch rows = b+pp)
+    panel_qr: PanelQR = PanelQR.qrcp
+
+
+def _cholqr_panel(panel, row0, precision):
+    """CHOLQR_mod_WY (rl_hqrrp.hh:506): CholQR of the row-masked panel,
+    then Householder reconstruction (the orhr_col step) at offset row0.
+    Returns (W, V, taus, sigma, fail) in qrcp_panel's layout."""
+    m, b = panel.shape
+    dtype = panel.dtype
+    rows = jnp.arange(m)
+    cols = jnp.arange(b)
+    Pm = jnp.where(rows[:, None] >= row0, panel, 0.0)
+    Qp, R_chol, fail = cholqr2(Pm, precision)
+    # orhr_col-equivalent: Householder QR of an orthonormal panel gives
+    # R = diag(signs) exactly; its reflectors are the implicit form.
+    Wq, V, taus, _ = qrcp_panel(Qp, row0, pivot=False, precision=precision)
+    signs = Wq[row0 + cols, cols]
+    R11 = signs[:, None] * R_chol
+    top = jnp.where(rows[:, None] < row0, panel, 0.0)
+    Rpad = jnp.zeros((m, b), dtype)
+    Rpad = jax.lax.dynamic_update_slice(Rpad, R11, (row0, 0))
+    tails = jnp.where(rows[:, None] > row0 + cols[None, :], V, 0.0)
+    W = top + Rpad + tails
+    sigma = jnp.arange(b, dtype=jnp.int32)
+    return W, V, taus, sigma, fail
+
+
+@partial(jax.jit, static_argnames=("c0", "nblocks", "bsz", "cfg",
+                                   "precision"))
+def _hqrrp_blocks(A, Y, G, order, taus_g, retired, fail, c0: int,
+                  nblocks: int, bsz: int, cfg: HQRRPConfig, precision):
+    """Process ``nblocks`` blocks of ``bsz`` columns starting at global
+    rank position ``c0`` (one jitted fori_loop)."""
+    m, n = A.shape
+    d = Y.shape[0]
+
+    def block(ib, carry):
+        A, Y, G, order, taus_g, retired, fail = carry
+        c = c0 + ib * bsz
+        live = 1.0 - retired
+
+        # 1. QRCP of the downdated sketch -> b pivots (lockstep-equivalent)
+        chosen = qrcp_select_pivots(Y, bsz, live, precision)
+
+        # 2. panel factorization at row offset c
+        panel = jnp.take(A, chosen, axis=1)
+        if cfg.panel_qr == PanelQR.cholqr:
+            W, V, taus, sigma, failp = _cholqr_panel(panel, c, precision)
+        else:
+            W, V, taus, sigma = qrcp_panel(
+                panel, c, pivot=(cfg.panel_qr == PanelQR.qrcp),
+                precision=precision)
+            failp = jnp.asarray(False)
+        chosen = jnp.take(chosen, sigma)
+        A = A.at[:, chosen].set(W)
+
+        # 3. compact-WY trailing update on the remaining live columns
+        T, Vz = wy_T(V, taus, precision)
+        live2 = live.at[chosen].set(0.0)
+        Wk = jnp.matmul(Vz.T, A * live2[None, :], precision=precision)
+        Upd = jnp.matmul(Vz, jnp.matmul(T.T, Wk, precision=precision),
+                         precision=precision)
+        A = A - Upd * live2[None, :]
+
+        # 4. sketch downdate: G <- G.Q_blk; Y2 -= G_new[:, c:c+b].R12
+        GV = jnp.matmul(G, Vz, precision=precision)
+        G = G - jnp.matmul(jnp.matmul(GV, T, precision=precision), Vz.T,
+                           precision=precision)
+        B = jax.lax.dynamic_slice(G, (0, c), (d, bsz))
+        R12 = jax.lax.dynamic_slice(A, (c, 0), (bsz, n)) * live2[None, :]
+        Y = Y - jnp.matmul(B, R12, precision=precision) * live2[None, :]
+
+        # commit
+        order = jax.lax.dynamic_update_slice(order, chosen, (c,))
+        taus_g = jax.lax.dynamic_update_slice(taus_g, taus, (c,))
+        retired = retired.at[chosen].set(1.0)
+        return A, Y, G, order, taus_g, retired, fail | failp
+
+    carry = (A, Y, G, order, taus_g, retired, fail)
+    return jax.lax.fori_loop(0, nblocks, block, carry)
+
+
+def _hqrrp_core(A: jax.Array, cfg: HQRRPConfig, state: RNGState,
+                precision=STABLE_PRECISION, timing: bool = False):
+    """Shared core: returns ``(A_packed, taus, J, rank, fail, state[,
+    phases])`` where ``A_packed`` is the pivoted matrix in LAPACK GEQP3
+    layout (R in the upper triangle, reflector tails below)."""
+    from ..utils.timing import PhaseTimer, device_sync
+    timer = PhaseTimer() if timing else None
+
+    def _phase(name):
+        import contextlib
+        return timer.phase(name) if timing else contextlib.nullcontext()
+
+    m, n = A.shape
+    K = min(m, n)
+    b = min(cfg.block_size, K)
+    d = b + cfg.oversample
+    dtype = A.dtype
+    nb_full, r = divmod(K, b)
+
+    with _phase("sketch"):
+        # uniform sketch, as the reference (ScalarDist::Uniform, :929)
+        key, state = state.spawn()
+        G = jax.random.uniform(key, (d, m), dtype=dtype, minval=-1.0,
+                               maxval=1.0)
+        Y = jnp.matmul(G, A, precision=precision)
+        if timing:
+            device_sync(Y)
+
+    order = jnp.zeros((K,), jnp.int32)
+    taus_g = jnp.zeros((K,), dtype)
+    retired = jnp.zeros((n,), dtype)
+    fail = jnp.asarray(False)
+
+    with _phase("blocks"):
+        carry = (A, Y, G, order, taus_g, retired, fail)
+        if nb_full:
+            carry = _hqrrp_blocks(*carry, 0, nb_full, b, cfg, precision)
+        if r:
+            carry = _hqrrp_blocks(*carry, nb_full * b, 1, r, cfg,
+                                  precision)
+        A, Y, G, order, taus_g, retired, fail = carry
+        if timing:
+            device_sync(A)
+
+    with _phase("epilogue"):
+        # pivots to the front in selection order; the rest keep relative
+        # order (only reachable when n > K)
+        pos = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(K, dtype=jnp.int32))
+        key_ = jnp.where(retired > 0, pos, K + jnp.arange(n))
+        perm = jnp.argsort(key_)
+        A_perm = jnp.take(A, perm, axis=1)
+        J = perm.astype(jnp.int32)
+        if timing:
+            device_sync(A_perm)
+
+    diag = jnp.diag(A_perm[:K, :K])
+    eps = jnp.finfo(dtype).eps
+    tol = jnp.abs(diag[0]) * jnp.sqrt(jnp.asarray(eps, dtype))
+    rank = util.naive_rank_est(diag, tol)
+    if timing:
+        return A_perm, taus_g, J, rank, fail, state, timer.report()
+    return A_perm, taus_g, J, rank, fail, state
 
 
 def hqrrp(A: jax.Array, cfg: HQRRPConfig, state: RNGState,
-          precision=STABLE_PRECISION):
-    """Randomized-pivoting Householder QR: A[:, J] ≈ Q R.
+          precision=STABLE_PRECISION, timing: bool = False):
+    """Randomized-pivoting Householder QR of A (any aspect ratio, any
+    size): A[:, J] ≈ Q R.
 
     Returns ``(Q, R, J, rank, fail, next_state)`` — same contract as
-    :func:`bqrrp`.
+    :func:`randlapack_tpu.drivers.bqrrp.bqrrp`: Q (m, K) orthonormal
+    (K = min(m, n)), R (K, n) upper-trapezoidal, J (n,) int32 pivots,
+    ``rank`` an int32 upper-bound estimate from diag(R), ``fail`` the
+    CholQR-panel breakdown flag (always False for Householder panels).
+
+    Q is a product of exact Householder reflectors — orthogonality is
+    machine-grade with no re-orthogonalization pass.
+
+    ``timing=True`` appends a phase-metrics dict (sketch / blocks /
+    epilogue — the reference's 26-slot vector collapsed to the phases
+    that exist on TPU, rl_hqrrp.hh:1150-1160).
     """
-    d_factor = (cfg.block_size + cfg.oversample) / cfg.block_size
-    bcfg = BQRRPConfig(block_size=cfg.block_size, d_factor=d_factor,
-                       qr_tall=QRTall.hqr)
-    return bqrrp(A, bcfg, state, precision)
+    out = _hqrrp_core(A, cfg, state, precision, timing)
+    A_perm, taus, J, rank, fail, state = out[:6]
+    m, n = A_perm.shape
+    K = min(m, n)
+    R = jnp.triu(A_perm[:K, :])
+    packed = jnp.tril(A_perm[:, :K], -1) + jnp.eye(m, K, dtype=A.dtype)
+    Q = jax.lax.linalg.householder_product(packed, taus)
+    if timing:
+        return Q, R, J, rank, fail, state, out[6]
+    return Q, R, J, rank, fail, state
 
 
 def hqrrp_lapack_format(A: jax.Array, cfg: HQRRPConfig, state: RNGState,
                         precision=STABLE_PRECISION):
     """GEQP3-compatible output: ``(packed, taus, R, J, next_state)`` with
-    the implicit-Q reflector representation (the reference's native output
-    format)."""
-    Q, R, J, rank, fail, state = hqrrp(A, cfg, state, precision)
-    packed, taus, signs = householder_reconstruct(Q, precision)
-    # fold the reconstruction signs into R so H_1...H_k · R' = A[:, J]
-    R = signs[:, None] * R
+    the implicit-Q reflector representation — HQRRP's native form (the
+    reference overwrites A with exactly this layout and is "almost
+    compatible with LAPACK's dgeqp3", rl_hqrrp.hh:778-779).
+
+    ``packed`` is (m, K) with reflector tails strictly below the diagonal
+    (unit heads implicit); apply via
+    :func:`randlapack_tpu.ops.householder.apply_reflectors`.
+    """
+    A_perm, taus, J, rank, fail, state = _hqrrp_core(A, cfg, state,
+                                                     precision)
+    m, n = A_perm.shape
+    K = min(m, n)
+    R = jnp.triu(A_perm[:K, :])
+    packed = jnp.tril(A_perm[:, :K], -1)
     return packed, taus, R, J, state

@@ -111,6 +111,157 @@ def geqp3(A: jax.Array, k: int | None = None, want_q: bool = True,
     return Q, R, J
 
 
+def _drmac_downdate(W, i, r_row, dN, eN, update_mask):
+    """Drmač partial-norm downdating with cancellation-triggered exact
+    recompute (reference: rl_hqrrp.hh::NoFLA_QRP_downdate_partial_norms
+    :360-411 — LAPACK dlaqp2's xLAQPS update rule).
+
+    ``W``: current (rows × cols) working matrix after step ``i``'s
+    reflector; ``r_row`` = W[i, :] (the new R row); ``dN``/``eN`` the
+    partial/reference norm vectors; ``update_mask`` bool (cols,) selecting
+    which columns to downdate. Returns (dN, eN).
+    """
+    dtype = W.dtype
+    tol3z = jnp.sqrt(jnp.finfo(dtype).eps)
+    rows = jnp.arange(W.shape[0])
+    # exact trailing norms (rows > i) — feeds the recompute branch; on TPU
+    # the full masked reduction is cheaper than data-dependent control flow
+    trail = jnp.sqrt(jnp.sum(
+        jnp.where(rows[:, None] > i, W, 0.0) ** 2, axis=0))
+    dsafe = jnp.where(dN > 0, dN, 1.0)
+    esafe = jnp.where(eN > 0, eN, 1.0)
+    temp = jnp.abs(r_row) / dsafe
+    temp = jnp.maximum(0.0, (1.0 + temp) * (1.0 - temp))
+    temp5 = dN / esafe
+    temp2 = temp * temp5 * temp5
+    recompute = temp2 <= tol3z
+    d_new = jnp.where(recompute, trail, dN * jnp.sqrt(temp))
+    e_new = jnp.where(recompute, trail, eN)
+    keep = (~update_mask) | (dN == 0)
+    dN = jnp.where(keep, dN, d_new)
+    eN = jnp.where(keep, eN, e_new)
+    return dN, eN
+
+
+def qrcp_select_pivots(Y: jax.Array, nsteps: int, live: jax.Array,
+                       precision=STABLE_PRECISION):
+    """Greedy Householder-QRCP pivot selection on a small (d × n) sketch,
+    restricted to ``live`` columns — the reference HQRRP's per-block QRCP
+    of the downdated sketch (rl_hqrrp.hh::NoFLA_QRPmod_WY_unb_var4 :557,
+    pivoting=1 path) with Drmač norm downdating (:360).
+
+    Columns are never physically swapped: step ``l``'s reflector is built
+    from pivot column ``p_l`` on rows ≥ l and applied to the remaining
+    eligible columns; the accumulated pivot list is the same permutation
+    the reference's lockstep three-matrix swaps produce.
+
+    Returns ``chosen`` — (nsteps,) int32 global column indices in pivot
+    order.
+    """
+    d, n = Y.shape
+    dtype = Y.dtype
+    cols = jnp.arange(n)
+    livef = live > 0
+    W0 = jnp.where(livef[None, :], Y, 0.0)
+    d0 = jnp.linalg.norm(W0, axis=0)
+
+    def step(i, carry):
+        W, dN, eN, avail, chosen = carry
+        p = jnp.argmax(jnp.where(avail, dN, -1.0))
+        chosen = chosen.at[i].set(p.astype(jnp.int32))
+        avail = avail & (cols != p)
+        v, tau, _ = _larfg(W[:, p], i)
+        w = tau * jnp.matmul(v, W, precision=precision)
+        w = jnp.where(avail, w, 0.0)  # transform remaining eligible cols
+        W = W - jnp.outer(v, w)
+        dN, eN = _drmac_downdate(W, i, W[i, :], dN, eN, avail)
+        return W, dN, eN, avail, chosen
+
+    carry = (W0, d0, d0, livef, jnp.zeros((nsteps,), jnp.int32))
+    _, _, _, _, chosen = jax.lax.fori_loop(0, nsteps, step, carry)
+    return chosen
+
+
+def qrcp_panel(panel: jax.Array, row0, pivot: bool = True,
+               precision=STABLE_PRECISION):
+    """Unblocked Householder QR(CP) of a full-height panel whose
+    factorization starts at (traced) row offset ``row0`` — the reference
+    HQRRP's panel kernel (rl_hqrrp.hh:1088, NoFLA_QRPmod_WY_unb_var4 on
+    AB1 = A[j:, j:j+b]) in static-shape form: rows < row0 are never
+    touched (they hold earlier R12 values), reflector ``l`` has its head
+    at row ``row0 + l``.
+
+    Returns ``(W, V, taus, sigma)``:
+      W     (m, b) the transformed panel — R values in rows ≤ row0+b,
+            reflector tails below (LAPACK packed layout at offset row0),
+      V     (m, b) explicit reflectors (unit head at row0+l, zeros above),
+      taus  (b,),
+      sigma (b,) int32 — the within-panel pivot order (identity when
+            ``pivot=False``), matching the reference's lockstep swaps of
+            (AB1, A01, Y1).
+    """
+    m, b = panel.shape
+    dtype = panel.dtype
+    rows = jnp.arange(m)
+    cols = jnp.arange(b)
+    row0 = jnp.asarray(row0, jnp.int32)
+    W0 = panel
+    masked0 = jnp.where(rows[:, None] >= row0, W0, 0.0)
+    d0 = jnp.linalg.norm(masked0, axis=0)
+
+    def step(l, carry):
+        W, V, taus, sigma, dN, eN = carry
+        i = row0 + l
+        if pivot:
+            p = jnp.argmax(jnp.where(cols >= l, dN, -1.0))
+            perm = jnp.where(cols == l, p, jnp.where(cols == p, l, cols))
+            W = jnp.take(W, perm, axis=1)
+            sigma = jnp.take(sigma, perm)
+            dN = jnp.take(dN, perm)
+            eN = jnp.take(eN, perm)
+        v, tau, alpha = _larfg(W[:, l], i)
+        w = tau * jnp.matmul(v, W, precision=precision)
+        w = jnp.where(cols >= l, w, 0.0)
+        W = W - jnp.outer(v, w)
+        # column l in LAPACK packed layout: R above, alpha on the
+        # "diagonal" (row i), the reflector tail v stored below
+        coli = jnp.where(rows < i, W[:, l],
+                         jnp.where(rows == i, alpha, v))
+        W = W.at[:, l].set(coli)
+        V = V.at[:, l].set(v)
+        taus = taus.at[l].set(tau)
+        if pivot:
+            dN, eN = _drmac_downdate(W, i, W[i, :], dN, eN, cols > l)
+        return W, V, taus, sigma, dN, eN
+
+    carry = (W0, jnp.zeros((m, b), dtype), jnp.zeros((b,), dtype),
+             jnp.arange(b, dtype=jnp.int32), d0, d0)
+    W, V, taus, sigma, _, _ = jax.lax.fori_loop(0, b, step, carry)
+    return W, V, taus, sigma
+
+
+def wy_T(V: jax.Array, taus: jax.Array, precision=STABLE_PRECISION):
+    """Compact-WY triangular factor: T (b×b upper) with
+    H₁·…·H_b = I − V·T·Vᵀ (LAPACK larft, forward/columnwise — used by the
+    reference's WY trailing updates, rl_hqrrp.hh:300,490).
+
+    Built in GEMM form from T⁻¹ = diag(1/τ) + strict_upper(VᵀV) — one
+    b×b Gram plus one small triangular solve instead of larft's column
+    recurrence. τ = 0 (identity reflector) columns contribute nothing:
+    their V column is zeroed and the diagonal is patched to 1.
+    """
+    b = taus.shape[0]
+    dtype = V.dtype
+    active = taus != 0
+    Vz = jnp.where(active[None, :], V, 0.0)
+    S = jnp.matmul(Vz.T, Vz, precision=precision)
+    tinv = jnp.where(active, 1.0 / jnp.where(active, taus, 1.0), 1.0)
+    Tinv = jnp.triu(S, 1) + jnp.diag(tinv.astype(dtype))
+    T = jax.lax.linalg.triangular_solve(
+        Tinv, jnp.eye(b, dtype=dtype), left_side=True, lower=False)
+    return T, Vz
+
+
 def lu_pivot_columns(A_panel_t: jax.Array):
     """Column-pivot selection via partial-pivoted LU — BQRRP's ``luqr``
     qrcp_wide (rl_bqrrp.hh:339-349): getrf on the transposed sketch panel;
