@@ -9,7 +9,8 @@ from .rpchol import RPCholConfig, rp_cholesky
 from .determiter import (PCGConfig, PCGSaddleConfig, pcg, pcg_saddle)
 from .lsqr import LSQRConfig, lsqr
 from .preconditioners import (make_right_orthogonalizer, nystrom_pc_data,
-                              rpc_data_svd_saso, rpchol_pc_data)
+                              right_precond_saso, rpc_data_svd_saso,
+                              rpchol_pc_data)
 
 __all__ = ["Stab", "orth", "stabilize", "RSConfig", "rs", "RFConfig", "rf",
            "QBConfig", "qb", "qb_blocked", "SYPSConfig", "syps",
@@ -17,4 +18,4 @@ __all__ = ["Stab", "orth", "stabilize", "RSConfig", "rs", "RFConfig", "rf",
            "PCGConfig", "PCGSaddleConfig", "pcg", "pcg_saddle",
            "LSQRConfig", "lsqr",
            "make_right_orthogonalizer", "nystrom_pc_data",
-           "rpc_data_svd_saso", "rpchol_pc_data"]
+           "right_precond_saso", "rpc_data_svd_saso", "rpchol_pc_data"]

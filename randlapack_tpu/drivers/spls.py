@@ -31,6 +31,11 @@ class SPLSConfig:
                                   # reference's path) | "lsqr" (works on A
                                   # directly: attainable x-accuracy κ·eps
                                   # instead of κ²·eps)
+    refine_precond: bool = True   # one CholQR pass of M against the sketch
+                                  # Gram — repairs the TPU Gram/eigh SVD's
+                                  # trailing-vector error (47→~19 PCG
+                                  # iters on the BASELINE config); no-op
+                                  # effect when the SVD is exact
     pcg: PCGSaddleConfig = PCGSaddleConfig()
 
 
@@ -56,9 +61,15 @@ def spls(A: jax.Array, b: jax.Array, mu, cfg: SPLSConfig, state: RNGState,
         M = jax.lax.linalg.triangular_solve(
             R_sk, jnp.eye(n, dtype=A.dtype), left_side=True, lower=False)
     else:
-        V_sk, sigma_sk, state = rpc_data_svd_saso(A, d, state, cfg.vec_nnz,
-                                                  precision=precision)
-        M, _ = make_right_orthogonalizer(V_sk, sigma_sk, mu)
+        if cfg.refine_precond:
+            from ..comps.preconditioners import right_precond_saso
+            M, _, _, state = right_precond_saso(A, d, mu, state,
+                                                cfg.vec_nnz,
+                                                precision=precision)
+        else:
+            V_sk, sigma_sk, state = rpc_data_svd_saso(
+                A, d, state, cfg.vec_nnz, precision=precision)
+            M, _ = make_right_orthogonalizer(V_sk, sigma_sk, mu)
     if cfg.solver == "lsqr":
         from ..comps.lsqr import LSQRConfig, lsqr
         assert b.ndim == 1 or b.shape[1] == 1, "lsqr path is single-rhs"

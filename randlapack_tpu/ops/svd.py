@@ -9,9 +9,13 @@ implementation here is the Gram/eigh route:
     p ≤ q:  eigh(B Bᵀ) → U, σ²;  Vᵀ = diag(1/σ)·UᵀB
     p > q:  eigh(BᵀB) → V, σ²;  U  = B·V·diag(1/σ)
 
-Accuracy model: σᵢ has relative error ~eps·(σ₁/σᵢ)² — singular values below
-√eps·σ₁ are unreliable (they are zeroed along with their derived vectors).
-For f64 correctness-critical paths use ``method="xla"`` (LAPACK on CPU).
+Accuracy model: the eigenVECTORS carry the Gram route's ~eps·(λ₁/gap)
+subspace error, but the singular VALUES are Rayleigh-refined (σᵢ = ‖Bvᵢ‖,
+one already-needed GEMM) to relative error ~eps·σ₁/σᵢ — an eps^½ → eps^¾
+extension of the reliable range at the √eps·σ₁ cutoff. Vectors for
+σ < √eps·σ₁ are zeroed. Ordering follows eigh's λ sort; refined values can
+be non-monotone within their error band. For f64 correctness-critical
+paths use ``method="xla"`` (LAPACK on CPU).
 """
 from __future__ import annotations
 
@@ -52,18 +56,23 @@ def svd_econ(B: jax.Array, method: str = "auto",
         G = jnp.matmul(B, B.T, precision=precision)
         lam, U = jnp.linalg.eigh(0.5 * (G + G.T))
         lam, U = lam[::-1], U[:, ::-1]
-        s = jnp.sqrt(jnp.maximum(lam, 0.0))
+        # Rayleigh refinement: σᵢ = ‖uᵢᵀB‖ has absolute error ~eps·σ₁
+        # (relative eps·σ₁/σᵢ) instead of the λ-path's eps·σ₁²/σᵢ
+        # (relative eps·(σ₁/σᵢ)²) — one already-needed GEMM, no extra cost
+        W = jnp.matmul(U.T, B, precision=precision)
+        s = jnp.linalg.norm(W, axis=1)
         good = s > s[0] * jnp.sqrt(eps)
         s_safe = jnp.where(good, s, 1.0)
-        Vt = jnp.matmul(U.T, B, precision=precision) / s_safe[:, None]
+        Vt = W / s_safe[:, None]
         Vt = jnp.where(good[:, None], Vt, 0.0)
         return U, s, Vt
     G = jnp.matmul(B.T, B, precision=precision)
     lam, V = jnp.linalg.eigh(0.5 * (G + G.T))
     lam, V = lam[::-1], V[:, ::-1]
-    s = jnp.sqrt(jnp.maximum(lam, 0.0))
+    W = jnp.matmul(B, V, precision=precision)
+    s = jnp.linalg.norm(W, axis=0)   # Rayleigh-refined σ (see above)
     good = s > s[0] * jnp.sqrt(eps)
     s_safe = jnp.where(good, s, 1.0)
-    U = jnp.matmul(B, V, precision=precision) / s_safe[None, :]
+    U = W / s_safe[None, :]
     U = jnp.where(good[None, :], U, 0.0)
     return U, s, V.T
