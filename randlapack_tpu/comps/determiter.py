@@ -34,6 +34,10 @@ class PCGConfig:
     tol: float = 1e-8             # relative residual target
     max_iters: int = 100
     mode: str = "lockstep"        # "lockstep" (per-column) | "block"
+    verbose: bool = False         # per-iteration residual trace via
+                                  # jax.debug.print (the reference's
+                                  # ``verbose`` cout trace,
+                                  # rl_determiter.hh:428,466)
 
 
 @partial(jax.jit, static_argnames=("cfg", "precision"))
@@ -85,7 +89,11 @@ def pcg(G, H: jax.Array, N, X0: jax.Array, cfg: PCGConfig,
             beta = jnp.where(rho != 0, rho_new / jnp.where(rho != 0, rho, 1.0),
                              0.0) * active
             P = Z + P * beta[None, :]
-            hist = hist.at[it + 1].set(jnp.linalg.norm(R, axis=0))
+            res = jnp.linalg.norm(R, axis=0)
+            hist = hist.at[it + 1].set(res)
+            if cfg.verbose:
+                jax.debug.print("pcg iter {it}: max residual {r}",
+                                it=it + 1, r=jnp.max(res))
             return X, R, Z, P, rho_new, hist, it + 1
 
         X, R, Z, P, rho, hist, it = jax.lax.while_loop(
@@ -131,7 +139,11 @@ def pcg(G, H: jax.Array, N, X0: jax.Array, cfg: PCGConfig,
         rho_new = jnp.matmul(R.T, Z, precision=precision)
         beta = _psd_solve(rho, rho_new)
         P = Z + jnp.matmul(P, beta, precision=precision)
-        hist = hist.at[it + 1].set(jnp.linalg.norm(R, axis=0))
+        res = jnp.linalg.norm(R, axis=0)
+        hist = hist.at[it + 1].set(res)
+        if cfg.verbose:
+            jax.debug.print("pcg(block) iter {it}: max residual {r}",
+                            it=it + 1, r=jnp.max(res))
         return X, R, Z, P, rho_new, hist, it + 1
 
     X, R, Z, P, rho, hist, it = jax.lax.while_loop(
@@ -144,6 +156,8 @@ class PCGSaddleConfig:
     tol: float = 1e-10
     max_iters: int = 200
     refresh_every: int = 50       # exact-residual recompute period (:92)
+    verbose: bool = False         # per-iteration residual trace
+                                  # (rl_determiter.hh:428 analogue)
 
 
 @partial(jax.jit, static_argnames=("cfg", "precision"))
@@ -197,6 +211,9 @@ def pcg_saddle(A: jax.Array, b: jax.Array, c: jax.Array, mu,
         beta = rho_new / rho
         p = z + beta * p
         hist = hist.at[it + 1].set(jnp.linalg.norm(r))
+        if cfg.verbose:
+            jax.debug.print("pcg_saddle iter {it}: residual {r}",
+                            it=it + 1, r=jnp.linalg.norm(r))
         return x, r, z, p, rho_new, hist, it + 1
 
     x, r, z, p, rho, hist, it = jax.lax.while_loop(

@@ -29,6 +29,8 @@ class MatType(enum.Enum):
     adversarial = "adversarial"
     bad_cholqr = "bad_cholqr"
     kahan = "kahan"
+    custom_input = "custom_input"   # read from a Matrix Market file
+                                    # (rl_gen.hh:438 process_input_mat)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +44,7 @@ class MatGenInfo:
     rank: int | None = None      # numerical rank (None = full)
     exponent: float = 2.0        # polynomial decay power
     scaling: float = 1.0
+    filename: str | None = None  # .mtx path for MatType.custom_input
 
 
 # -- spectrum builders --------------------------------------------------------
@@ -65,6 +68,17 @@ def gen_exp_singvals(k: int, cond: float, dtype) -> jax.Array:
         return jnp.ones((1,), dtype)
     t = jnp.arange(k, dtype=dtype) / (k - 1)
     return jnp.exp(-t * math.log(cond)).astype(dtype)
+
+
+def gen_quadratic_singvals(k: int, cond: float, dtype) -> jax.Array:
+    """σᵢ = 1 + (cond−1)·(i/(k−1))², descending after normalization —
+    the reference's quadratic spectrum (rl_test_utils.hh:446 usage,
+    ``gen_quadratic_singvals``); κ = cond exactly."""
+    if k == 1:
+        return jnp.ones((1,), dtype)
+    t = jnp.arange(k, dtype=dtype) / (k - 1)
+    s = 1.0 + (cond - 1.0) * t * t
+    return (s[::-1] / s[-1]).astype(dtype)
 
 
 def gen_step_singvals(k: int, cond: float, dtype,
@@ -164,6 +178,14 @@ def mat_gen(info: MatGenInfo, state: RNGState, dtype=jnp.float64):
         return bad_cholqr_matrix(m, n, state, dtype)
     elif t == MatType.adversarial:
         return adversarial_matrix(m, n, state, dtype)
+    elif t == MatType.custom_input:
+        # rl_gen.hh:438: route a Matrix Market file through mat_gen
+        from .extras.io import mm_read
+        assert info.filename, "custom_input requires MatGenInfo.filename"
+        A = jnp.asarray(mm_read(info.filename, dense=True), dtype=dtype)
+        assert A.shape == (m, n), (
+            f"file is {A.shape}, MatGenInfo says {(m, n)}")
+        return A * info.scaling, state
     else:  # pragma: no cover
         raise ValueError(t)
     A, state = gen_singvec(m, n, s * info.scaling, state)

@@ -66,3 +66,48 @@ def materialize_linop(op):
 def orthogonality_error(Q) -> float:
     from .ops import util
     return float(util.orthogonality_check(jnp.asarray(Q)))
+
+
+def write_dense_to_mtx(filename: str, A) -> None:
+    """Write a dense matrix to a Matrix Market coordinate file, dropping
+    entries ≤ eps·max|A| as structural zeros
+    (rl_test_utils.hh:379 write_dense_to_mtx)."""
+    A = np.asarray(A)
+    tol = np.finfo(A.dtype).eps * np.max(np.abs(A)) if A.size else 0.0
+    rows, cols = np.nonzero(np.abs(A) > tol)
+    from .extras.io import mm_write
+    mm_write(filename, rows.astype(np.int32), cols.astype(np.int32),
+             A[rows, cols], A.shape)
+
+
+def generate_spd_matrix_file(filename: str, n: int, cond_num: float,
+                             state: RNGState, dtype=jnp.float64):
+    """Random n×n SPD matrix with κ = cond_num written to .mtx
+    (rl_test_utils.hh:426 generate_spd_matrix_file).
+    Returns ``next_state``."""
+    from .gen import gen_quadratic_singvals, psd_from_eigvals
+    lam = gen_quadratic_singvals(n, cond_num, dtype)
+    A, state = psd_from_eigvals(n, lam, state)
+    write_dense_to_mtx(filename, A)
+    return state
+
+
+def generate_invertible_matrix_file(filename: str, n: int, cond_num: float,
+                                    state: RNGState, dtype=jnp.float64):
+    """Random invertible (non-symmetric) n×n matrix with κ = cond_num,
+    written to .mtx (rl_test_utils.hh:440). Returns ``next_state``."""
+    from .gen import gen_quadratic_singvals, gen_singvec
+    s = gen_quadratic_singvals(n, cond_num, dtype)
+    A, state = gen_singvec(n, n, s, state)
+    write_dense_to_mtx(filename, A)
+    return state
+
+
+def left_multiply_by_orthmat(A, state: RNGState):
+    """Q·A for a Haar-random orthogonal Q (rl_test_utils.hh:468).
+    Returns ``(QA, next_state)``."""
+    from .gen import haar_basis
+    m = A.shape[0]
+    Q, state = haar_basis(m, m, state, A.dtype)
+    from .config import STABLE_PRECISION
+    return jnp.matmul(Q, A, precision=STABLE_PRECISION), state
