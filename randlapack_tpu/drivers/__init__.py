@@ -2,7 +2,8 @@
 from .rsvd import RSVDConfig, rsvd, rsvd_fixed_rank
 from .cqrrt import CQRRTConfig, SketchKind, cqrrt
 from .cqrrpt import CQRRPTConfig, QRCPKind, cqrrpt
-from .bqrrp import BQRRPConfig, QRTall, bqrrp
+from .bqrrp import (BQRRPConfig, BQRRPFactors, QRTall, bqrrp,
+                    bqrrp_apply_qt, bqrrp_factored, bqrrp_q)
 from .revd2 import REVD2Config, revd2, revd2_fixed_rank
 from .krill import KrillConfig, krill_full_rpchol
 from .spls import SPLSConfig, spls
@@ -16,7 +17,8 @@ from .cholqr_linops import (CholQRLinopsConfig, CQRRTLinopsConfig,
 __all__ = ["RSVDConfig", "rsvd", "rsvd_fixed_rank",
            "CQRRTConfig", "SketchKind", "cqrrt",
            "CQRRPTConfig", "QRCPKind", "cqrrpt",
-           "BQRRPConfig", "QRTall", "bqrrp",
+           "BQRRPConfig", "BQRRPFactors", "QRTall", "bqrrp",
+           "bqrrp_apply_qt", "bqrrp_factored", "bqrrp_q",
            "REVD2Config", "revd2", "revd2_fixed_rank",
            "KrillConfig", "krill_full_rpchol",
            "SPLSConfig", "spls",

@@ -40,6 +40,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
+import typing
 from functools import partial
 
 import jax
@@ -47,7 +48,7 @@ import jax.numpy as jnp
 
 from ..config import STABLE_PRECISION
 from ..rng import RNGState
-from ..ops.cholqr import cholqr, preconditioned_cholqr
+from ..ops.cholqr import cholqr, preconditioned_cholqr, shifted_cholqr3
 from ..ops.qr import qr_econ
 from ..ops import util
 
@@ -314,3 +315,245 @@ def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
     if timing:
         return Q, R, J, rank, fail, state, timer.report()
     return Q, R, J, rank, fail, state
+
+
+# ---------------------------------------------------------------------------
+# WY-form (implicit-Q) BQRRP — the reference's native output semantics
+# ---------------------------------------------------------------------------
+
+class BQRRPFactors(typing.NamedTuple):
+    """Implicit factored output of :func:`bqrrp_factored` — the analogue of
+    the reference's GEQP3-compatible (reflectors, tau, J) triple
+    (rl_bqrrp.hh:132: "BQRRP is not in the business of forming Q
+    explicitly"): A[:, J] = Q·R with Q = H₁·…·H_nb left implicit as
+    block-WY transforms Hᵢ = I − Vᵢ·Tᵢ·Vᵢᵀ.
+
+    Unlike LAPACK's elementary-reflector format, T is a *general* b×b
+    matrix per block (the LU-free Householder reconstruction below trades
+    the triangular-T convention for a pure-GEMM build); use
+    :func:`bqrrp_q` / :func:`bqrrp_apply_qt` to consume it.
+    """
+    V: jax.Array        # (m, K) block reflector basis, block i in cols
+                        # i·b:(i+1)·b, zeros above row i·b
+    T: jax.Array        # (nb, b, b) per-block WY factors
+    R: jax.Array        # (K, n) upper-trapezoidal
+    J: jax.Array        # (n,) int32 pivots
+    rank: jax.Array     # int32 upper-bound rank estimate
+    fail: jax.Array     # bool — CholQR breakdown along the way
+
+
+def _wy_reconstruct(Q_panel: jax.Array, c, precision):
+    """Householder reconstruction — delegates to the blocked
+    adaptive-sign ``orhr_col`` (ops/householder.py), the LAPACK-robust
+    construction. A fixed sign choice S = −sign(diag Q₁) with
+    T⁻¹ = I − Q₁ᵀS is NOT safe: when the panel is square (BQRRP's last
+    block on a square matrix) Q₁ is orthogonal and Q₁·S can have an
+    eigenvalue exactly 1, making T singular (observed in testing).
+    The adaptive-sign LU keeps every pivot ≥ 1 unconditionally.
+
+    Returns ``(V, T, s)``: H = I − V·T·Vᵀ exactly orthogonal up to the
+    panel's own orthonormality error, with H·E_blk = Q_panel·diag(s).
+    """
+    from ..ops.householder import orhr_col
+    return orhr_col(Q_panel, c, precision)
+
+
+@partial(jax.jit, static_argnames=("cfg", "nblocks", "precision"))
+def _wy_loop(A, Y, Vall, Ts, order, retired, fail, cfg: BQRRPConfig,
+             nblocks: int, precision):
+    """The factored-form block loop: in-place Householder coordinates
+    (live columns carry QᵀA), mask-based retirement, exact trsm sketch
+    downdate (rl_bqrrp.hh:630-650 — exact here because WY coordinates
+    remove the BCGS drift term discussed in the explicit driver)."""
+    m, n = A.shape
+    b = cfg.block_size
+    dtype = A.dtype
+    rows = jnp.arange(m)
+
+    def block(i, carry):
+        A, Y, Vall, Ts, order, retired, fail = carry
+        c = i * b
+        live = 1.0 - retired
+
+        # -- qrcp_wide: LU pivots on the masked live sketch -------------
+        Y_m = Y * live[None, :]
+        if cfg.pivot_candidates is not None:
+            n_cand = min(n, cfg.pivot_candidates * b)
+            norms2 = jnp.sum(Y_m * Y_m, axis=0)
+            _, cand = jax.lax.top_k(norms2, n_cand)
+            sub = jnp.take(Y_m, cand, axis=1)
+            _, _, perm_sub = jax.lax.linalg.lu(sub.T)
+            chosen = jnp.take(cand, perm_sub[:b])
+        else:
+            _, _, perm_lu = jax.lax.linalg.lu(Y_m.T)
+            chosen = perm_lu[:b]
+
+        # -- panel QR at row offset c (sketch-preconditioned CholQR) ----
+        panel = jnp.take(A, chosen, axis=1)
+        panel_m = jnp.where(rows[:, None] >= c, panel, 0.0)
+        Ysk_p = jnp.take(Y, chosen, axis=1)
+        G_sk = jnp.matmul(Ysk_p.T, Ysk_p, precision=precision)
+        L_sk = jax.lax.linalg.cholesky(G_sk)
+        badsk = jnp.any(jnp.isnan(L_sk))
+        R_sk = _safe_triu_diag(
+            jnp.where(badsk, jnp.eye(b, dtype=dtype), L_sk.T), dtype)
+        Q_panel, R11, failp = preconditioned_cholqr(panel_m, R_sk,
+                                                    precision)
+        if cfg.panel_reorth:
+            Q_panel, R2, f2 = cholqr(Q_panel, precision)
+            R11 = jnp.matmul(R2, R11, precision=precision)
+            failp = failp | f2
+        # rescue: shifted CholQR3 is breakdown-free (GEMM-form fallback)
+        Q_r, R_r, f_r = shifted_cholqr3(panel_m, precision)
+        Q_panel = jnp.where(failp, Q_r, Q_panel)
+        R11 = jnp.where(failp, R_r, R11)
+        fail = fail | (failp & f_r)
+        R11 = jnp.triu(R11)
+
+        # -- LU-free Householder reconstruction -------------------------
+        V, T, s = _wy_reconstruct(Q_panel, c, precision)
+
+        # -- write the chosen columns: R12 rows (< c) kept, signed R11 --
+        Rsigned = s[:, None] * R11
+        Rpad = jnp.zeros((m, b), dtype)
+        Rpad = jax.lax.dynamic_update_slice(Rpad, Rsigned, (c, 0))
+        A = A.at[:, chosen].set(jnp.where(rows[:, None] < c, panel, 0.0)
+                                + Rpad)
+
+        # -- WY trailing update on remaining live columns ---------------
+        live2 = live.at[chosen].set(0.0)
+        Am = A * live2[None, :]
+        Wk = jnp.matmul(V.T, Am, precision=precision)          # (b, n)
+        Upd = jnp.matmul(V, jnp.matmul(T.T, Wk, precision=precision),
+                         precision=precision)
+        A = A - Upd * live2[None, :]
+
+        # -- exact sketch downdate: B = Y_panel·R11⁻¹·S -----------------
+        B = jax.lax.linalg.triangular_solve(
+            _safe_triu_diag(R11, dtype), Ysk_p,
+            left_side=False, lower=False) * s[None, :]
+        R12 = jax.lax.dynamic_slice(A, (c, 0), (b, n)) * live2[None, :]
+        Y = Y - jnp.matmul(B, R12, precision=precision) * live2[None, :]
+
+        # -- commit ------------------------------------------------------
+        Vall = jax.lax.dynamic_update_slice(Vall, V, (0, c))
+        Ts = jax.lax.dynamic_update_slice(Ts, T[None], (i, 0, 0))
+        order = jax.lax.dynamic_update_slice(order, chosen, (c,))
+        retired = retired.at[chosen].set(1.0)
+        return A, Y, Vall, Ts, order, retired, fail
+
+    carry = (A, Y, Vall, Ts, order, retired, fail)
+    return jax.lax.fori_loop(0, nblocks, block, carry)
+
+
+def bqrrp_factored(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
+                   precision=STABLE_PRECISION, timing: bool = False):
+    """Blocked randomized QRCP in the reference's native *factored* form:
+    A[:, J] = Q·R with Q implicit (block-WY reflectors) — the
+    GEQP3-semantics path (rl_bqrrp.hh returns reflectors+tau+J and
+    explicitly does not form Q). Materialize Q with :func:`bqrrp_q`, or
+    apply Qᵀ with :func:`bqrrp_apply_qt`.
+
+    Orthogonality of the (materialized) Q is reflector-grade — the
+    trailing matrix is carried in exactly-rotated coordinates, so there is
+    no cross-block Gram-Schmidt drift and no final re-orthogonalization
+    pass (the explicit driver's ``final_orth`` cost disappears).
+
+    Requires min(m, n) % block_size == 0 (same as the explicit driver).
+    Returns ``(BQRRPFactors, next_state)`` (+ phase dict when
+    ``timing=True``).
+    """
+    from ..utils.timing import PhaseTimer, device_sync
+    timer = PhaseTimer() if timing else None
+
+    def _phase(name):
+        import contextlib
+        return timer.phase(name) if timing else contextlib.nullcontext()
+
+    m, n = A.shape
+    b = cfg.block_size
+    K = min(m, n)
+    assert K % b == 0, f"min(m,n)={K} must be a multiple of block_size={b}"
+    nblocks = K // b
+    d = int(cfg.d_factor * b)
+    dtype = A.dtype
+
+    with _phase("sketch"):
+        key, state = state.spawn()
+        Smat = jax.random.normal(key, (d, m), dtype=dtype) / math.sqrt(d)
+        Y = jnp.matmul(Smat, A, precision=precision)
+        if timing:
+            device_sync(Y)
+
+    Vall = jnp.zeros((m, K), dtype)
+    Ts = jnp.zeros((nblocks, b, b), dtype)
+    order = jnp.zeros((K,), jnp.int32)
+    retired = jnp.zeros((n,), dtype)
+    fail = jnp.asarray(False)
+
+    with _phase("loop"):
+        A_h, Y, Vall, Ts, order, retired, fail = _wy_loop(
+            A, Y, Vall, Ts, order, retired, fail, cfg, nblocks, precision)
+        if timing:
+            device_sync(A_h)
+
+    with _phase("epilogue"):
+        pos = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(K, dtype=jnp.int32))
+        key_ = jnp.where(retired > 0, pos, K + jnp.arange(n))
+        perm = jnp.argsort(key_)
+        A_perm = jnp.take(A_h, perm, axis=1)
+        J = perm.astype(jnp.int32)
+        R = jnp.triu(A_perm[:K, :])
+        if timing:
+            device_sync(R)
+
+    diag = jnp.diag(R[:, :K])
+    eps = jnp.finfo(dtype).eps
+    tol = jnp.abs(diag[0]) * jnp.sqrt(jnp.asarray(eps, dtype))
+    rank = util.naive_rank_est(diag, tol)
+    fac = BQRRPFactors(V=Vall, T=Ts, R=R, J=J, rank=rank, fail=fail)
+    if timing:
+        return fac, state, timer.report()
+    return fac, state
+
+
+@partial(jax.jit, static_argnames=("k", "precision"))
+def bqrrp_q(fac: BQRRPFactors, k: int | None = None,
+            precision=STABLE_PRECISION):
+    """Materialize the leading ``k`` (default all K) columns of Q from the
+    factored form — the orgqr/ungqr analogue (cost ≈ 4·m·K·k flops; the
+    reference likewise leaves this to the caller)."""
+    m, K = fac.V.shape
+    nb, b, _ = fac.T.shape
+    k = K if k is None else k
+    Q = jnp.eye(m, k, dtype=fac.V.dtype)
+
+    def apply_h(j, Q):
+        i = nb - 1 - j
+        Vi = jax.lax.dynamic_slice(fac.V, (0, i * b), (m, b))
+        Ti = jax.lax.dynamic_slice(fac.T, (i, 0, 0), (1, b, b))[0]
+        Wk = jnp.matmul(Vi.T, Q, precision=precision)
+        return Q - jnp.matmul(Vi, jnp.matmul(Ti, Wk, precision=precision),
+                              precision=precision)
+
+    return jax.lax.fori_loop(0, nb, apply_h, Q)
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def bqrrp_apply_qt(fac: BQRRPFactors, X: jax.Array,
+                   precision=STABLE_PRECISION):
+    """Qᵀ·X from the factored form — the ormqr/gemqrt analogue
+    (rl_bqrrp.hh:535-547)."""
+    m, K = fac.V.shape
+    nb, b, _ = fac.T.shape
+
+    def apply_ht(i, X):
+        Vi = jax.lax.dynamic_slice(fac.V, (0, i * b), (m, b))
+        Ti = jax.lax.dynamic_slice(fac.T, (i, 0, 0), (1, b, b))[0]
+        Wk = jnp.matmul(Vi.T, X, precision=precision)
+        return X - jnp.matmul(Vi, jnp.matmul(Ti.T, Wk,
+                                             precision=precision),
+                              precision=precision)
+
+    return jax.lax.fori_loop(0, nb, apply_ht, X)

@@ -69,19 +69,22 @@ class HQRRPConfig:
 
 def _cholqr_panel(panel, row0, precision):
     """CHOLQR_mod_WY (rl_hqrrp.hh:506): CholQR of the row-masked panel,
-    then Householder reconstruction (the orhr_col step) at offset row0.
-    Returns (W, V, taus, sigma, fail) in qrcp_panel's layout."""
+    then blocked Householder reconstruction (the orhr_col step,
+    ops/householder.py — adaptive-sign LU, GEMM-form) at offset row0.
+    τₗ = 2/‖vₗ‖² makes each stored reflector *exact*, so the
+    householder_product materialization and the in-loop WY updates agree
+    to the panel's CholQR quality. Returns (W, V, taus, sigma, fail) in
+    qrcp_panel's layout."""
+    from ..ops.householder import orhr_col
     m, b = panel.shape
     dtype = panel.dtype
     rows = jnp.arange(m)
     cols = jnp.arange(b)
     Pm = jnp.where(rows[:, None] >= row0, panel, 0.0)
     Qp, R_chol, fail = cholqr2(Pm, precision)
-    # orhr_col-equivalent: Householder QR of an orthonormal panel gives
-    # R = diag(signs) exactly; its reflectors are the implicit form.
-    Wq, V, taus, _ = qrcp_panel(Qp, row0, pivot=False, precision=precision)
-    signs = Wq[row0 + cols, cols]
-    R11 = signs[:, None] * R_chol
+    V, _, s = orhr_col(Qp, row0, precision)
+    taus = 2.0 / jnp.sum(V * V, axis=0)
+    R11 = s[:, None] * R_chol
     top = jnp.where(rows[:, None] < row0, panel, 0.0)
     Rpad = jnp.zeros((m, b), dtype)
     Rpad = jax.lax.dynamic_update_slice(Rpad, R11, (row0, 0))

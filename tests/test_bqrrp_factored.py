@@ -1,0 +1,163 @@
+"""Factored (WY / implicit-Q) BQRRP and the blocked Householder
+reconstruction (reference: rl_bqrrp.hh — GEQP3-format output with
+orhr_col at :453-510; LAPACK launhr_col_getrfnp2 semantics for the
+adaptive-sign LU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from randlapack_tpu import RNGState
+from randlapack_tpu.gen import MatGenInfo, MatType, mat_gen, kahan_matrix
+from randlapack_tpu.drivers import (BQRRPConfig, bqrrp, bqrrp_apply_qt,
+                                    bqrrp_factored, bqrrp_q)
+from randlapack_tpu.ops.householder import getrfnp, orhr_col
+
+EPS = float(jnp.finfo(jnp.float64).eps)
+ATOL = EPS ** 0.75
+hp = jax.lax.Precision.HIGHEST
+
+
+class TestGetrfnp:
+    @pytest.mark.parametrize("k", [4, 32, 48, 96])
+    def test_factorizes_with_unit_pivots(self, k):
+        rng = np.random.default_rng(k)
+        Q = jnp.asarray(np.linalg.qr(rng.standard_normal((k, k)))[0])
+        F, s = getrfnp(Q)
+        L = jnp.tril(F, -1) + jnp.eye(k)
+        U = jnp.triu(F)
+        assert float(jnp.linalg.norm(L @ U - (Q - jnp.diag(s)))) < 1e-13
+        assert float(jnp.min(jnp.abs(jnp.diag(U)))) >= 1.0 - 1e-12
+        assert set(np.unique(np.asarray(s))) <= {-1.0, 1.0}
+
+    def test_adversarial_rotation(self):
+        """Block-diagonal rotations give Q1·S_fixed an eigenvalue exactly
+        1 (the fixed-sign construction is singular there); the adaptive
+        signs must stay robust."""
+        th = 0.7
+        R2 = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        Q = jnp.asarray(np.kron(np.eye(8), R2))
+        F, s = getrfnp(Q)
+        U = jnp.triu(F)
+        assert float(jnp.min(jnp.abs(jnp.diag(U)))) >= 1.0 - 1e-12
+
+
+class TestOrhrCol:
+    @pytest.mark.parametrize("m,b,c", [(40, 6, 9), (64, 64, 0),
+                                       (100, 50, 50), (96, 32, 33)])
+    def test_exact_orthogonal_and_range(self, m, b, c):
+        rng = np.random.default_rng(m + b)
+        A = rng.standard_normal((m, b))
+        A[:c] = 0.0
+        Q = jnp.asarray(np.linalg.qr(A)[0])
+        V, T, s = orhr_col(Q, c)
+        H = jnp.eye(m) - V @ T @ V.T
+        assert float(jnp.linalg.norm(H.T @ H - jnp.eye(m))) < 1e-12
+        assert float(jnp.linalg.norm(H[:, c:c + b] - Q * s[None, :])) < 1e-12
+        # LAPACK layout: T upper triangular, V unit diagonal at offset
+        assert float(jnp.linalg.norm(jnp.tril(T, -1))) == 0.0
+        assert float(jnp.linalg.norm(
+            V[c + jnp.arange(b), jnp.arange(b)] - 1.0)) < 1e-12
+        assert float(jnp.linalg.norm(V[:c])) < 1e-13
+
+    def test_square_orthogonal_block(self):
+        """The BQRRP last-block regression: square orthogonal panel."""
+        th = 0.7
+        R2 = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        Q = jnp.asarray(np.kron(np.eye(8), R2))
+        V, T, s = orhr_col(Q, 0)
+        H = jnp.eye(16) - V @ T @ V.T
+        assert float(jnp.linalg.norm(H.T @ H - jnp.eye(16))) < 1e-12
+        assert float(jnp.linalg.norm(H - Q * s[None, :])) < 1e-12
+
+
+class TestBQRRPFactored:
+    @pytest.mark.parametrize("shape,b,cand", [
+        ((400, 400), 100, 2),    # square: exercises the square last panel
+        ((500, 300), 75, 2),     # tall
+        ((200, 320), 50, 2),     # wide
+        ((256, 256), 64, None),  # full-width LU pivots
+    ])
+    def test_invariants(self, shape, b, cand):
+        m, n = shape
+        K = min(m, n)
+        A, st = mat_gen(MatGenInfo(m, n, MatType.polynomial, cond_num=1e6),
+                        RNGState(5))
+        fac, _ = bqrrp_factored(
+            A, BQRRPConfig(block_size=b, pivot_candidates=cand), st)
+        assert not bool(fac.fail)
+        Q = bqrrp_q(fac)
+        AJ = jnp.take(A, fac.J, axis=1)
+        res = float(jnp.linalg.norm(
+            jnp.matmul(Q, fac.R, precision=hp) - AJ) / jnp.linalg.norm(A))
+        orth = float(jnp.linalg.norm(
+            jnp.matmul(Q.T, Q, precision=hp) - jnp.eye(K)))
+        assert res < ATOL * 10
+        assert orth < ATOL * np.sqrt(K) * 10
+        assert sorted(np.asarray(fac.J).tolist()) == list(range(n))
+        assert float(jnp.linalg.norm(jnp.tril(fac.R[:, :K], -1))) == 0.0
+
+    def test_apply_qt(self):
+        A, st = mat_gen(MatGenInfo(300, 200, MatType.exponential,
+                                   cond_num=1e4), RNGState(6))
+        fac, _ = bqrrp_factored(A, BQRRPConfig(block_size=50), st)
+        QtAJ = bqrrp_apply_qt(fac, jnp.take(A, fac.J, axis=1))
+        np.testing.assert_allclose(np.asarray(jnp.triu(QtAJ[:200])),
+                                   np.asarray(fac.R), atol=1e-10)
+        # rows below K must be annihilated
+        assert float(jnp.linalg.norm(QtAJ[200:])) < 1e-10 * float(
+            jnp.linalg.norm(A))
+
+    def test_partial_q_materialization(self):
+        A, st = mat_gen(MatGenInfo(240, 240, MatType.gaussian), RNGState(7))
+        fac, _ = bqrrp_factored(A, BQRRPConfig(block_size=60), st)
+        Qk = bqrrp_q(fac, k=60)
+        Qfull = bqrrp_q(fac)
+        np.testing.assert_allclose(np.asarray(Qk), np.asarray(Qfull[:, :60]),
+                                   atol=1e-12)
+
+    def test_matches_explicit_driver_quality(self):
+        """Factored and explicit drivers are the same algorithm family:
+        equal-quality residuals on the same input (not identical pivots —
+        the explicit driver BCGS-projects panels before QR)."""
+        A, st = mat_gen(MatGenInfo(320, 320, MatType.polynomial,
+                                   cond_num=1e8), RNGState(8))
+        fac, _ = bqrrp_factored(A, BQRRPConfig(block_size=80), st)
+        Qf = bqrrp_q(fac)
+        res_f = float(jnp.linalg.norm(
+            jnp.matmul(Qf, fac.R, precision=hp)
+            - jnp.take(A, fac.J, axis=1)) / jnp.linalg.norm(A))
+        Q, R, J, rank, fail, _ = bqrrp(A, BQRRPConfig(block_size=80), st)
+        res_e = float(jnp.linalg.norm(
+            jnp.matmul(Q, R, precision=hp)
+            - jnp.take(A, J, axis=1)) / jnp.linalg.norm(A))
+        assert res_f < max(10 * res_e, ATOL * 10)
+
+    def test_rank_deficient(self):
+        A, st = mat_gen(MatGenInfo(300, 240, MatType.polynomial,
+                                   cond_num=1e4, rank=60), RNGState(9))
+        fac, _ = bqrrp_factored(A, BQRRPConfig(block_size=60), st)
+        assert int(fac.rank) <= 90
+        Q = bqrrp_q(fac, k=60)
+        res = float(jnp.linalg.norm(
+            jnp.matmul(Q, fac.R[:60], precision=hp)
+            - jnp.take(A, fac.J, axis=1)) / jnp.linalg.norm(A))
+        assert res < 1e-8
+        # Q stays machine-orthonormal past the rank (reflector form)
+        orth = float(jnp.linalg.norm(
+            jnp.matmul(Q.T, Q, precision=hp) - jnp.eye(60)))
+        assert orth < ATOL * 10
+
+    def test_kahan(self):
+        A = kahan_matrix(128, jnp.float64)
+        fac, _ = bqrrp_factored(A, BQRRPConfig(block_size=32), st := RNGState(10))
+        Q = bqrrp_q(fac)
+        res = float(jnp.linalg.norm(
+            jnp.matmul(Q, fac.R, precision=hp)
+            - jnp.take(A, fac.J, axis=1)) / jnp.linalg.norm(A))
+        assert res < ATOL * 10
+
+    def test_timing_dict(self):
+        A, st = mat_gen(MatGenInfo(120, 120, MatType.gaussian), RNGState(11))
+        out = bqrrp_factored(A, BQRRPConfig(block_size=40), st, timing=True)
+        assert {"sketch", "loop", "epilogue"} <= set(out[2])
