@@ -219,7 +219,8 @@ def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
 
     Returns ``(Q, R, J, rank, fail, next_state)``:
       Q (m, K) orthonormal, R (K, n) upper-trapezoidal, J (n,) int32,
-      K = min(m, n) (must be a multiple of ``cfg.block_size``),
+      K = min(m, n) — any size/aspect ratio (a non-multiple K runs a
+      one-block remainder stage; rl_bqrrp.hh:569-576 semantics),
       ``rank`` an int32 upper-bound estimate from diag(R),
       ``fail`` the CholQR breakdown flag.
 
@@ -235,15 +236,21 @@ def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
         import contextlib
         return timer.phase(name) if timing else contextlib.nullcontext()
     m, n = A.shape
-    b = cfg.block_size
+    b = min(cfg.block_size, min(m, n))
+    if b != cfg.block_size:
+        cfg = dataclasses.replace(cfg, block_size=b)
     K = min(m, n)
-    assert K % b == 0, f"min(m,n)={K} must be a multiple of block_size={b}"
+    K_full, r = divmod(K, b)
+    K_full *= b
     d = int(cfg.d_factor * b)
     dtype = A.dtype
 
-    S = cfg.stages if (m >= n and cfg.stages > 1
-                       and K % (cfg.stages * b) == 0) else 1
-    chunk = K // S
+    # stages partition the FULL blocks; a non-multiple K adds a remainder
+    # stage of one r-wide block (the reference handles any size,
+    # rl_bqrrp.hh:569-576; wide matrices use the same shrinking windows)
+    S = cfg.stages if (cfg.stages > 1 and K_full > 0
+                       and K_full % (cfg.stages * b) == 0) else 1
+    chunk = K_full // S if K_full else 0
 
     # one-time sketch (rl_bqrrp.hh:306-312)
     with _phase("sketch"):
@@ -259,10 +266,19 @@ def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
     fail = jnp.asarray(False)
     A_work = A
 
-    for s in range(S):
-        g0 = s * chunk
-        q_hi = min((s + 1) * chunk, K)
-        nblocks = chunk // b
+    # stage plan: (g0, q_hi, nblocks, stage_cfg) — S full stages plus an
+    # optional one-block remainder stage of width r
+    plan = [(s * chunk, min((s + 1) * chunk, K_full), chunk // b, cfg)
+            for s in range(S) if chunk]
+    if r:
+        plan.append((K_full, K, 1, dataclasses.replace(
+            cfg, block_size=r,
+            pivot_candidates=(cfg.pivot_candidates
+                              if cfg.pivot_candidates is None else
+                              max(1, cfg.pivot_candidates)))))
+
+    n_stages = len(plan)
+    for s, (g0, q_hi, nblocks, scfg) in enumerate(plan):
         # local window [g0, n)
         A_loc = A_work[:, g0:] if s > 0 else A_work
         A_sk_loc = A_sk[:, g0:] if s > 0 else A_sk
@@ -270,13 +286,14 @@ def bqrrp(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
         J_loc = J[g0:] if s > 0 else J
         with _phase(f"stage_{s}"):
             A_loc, A_sk_loc, Q, R_loc, J_loc, fail = _stage(
-                A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg, g0, q_hi,
+                A_loc, A_sk_loc, Q, R_loc, J_loc, fail, scfg, g0, q_hi,
                 nblocks, precision)
             if timing:
                 device_sync(Q)
-        if S > 1:
-            A_work = A_work.at[:, g0:].set(A_loc) if s + 1 < S else A_work
-            A_sk = A_sk.at[:, g0:].set(A_sk_loc) if s + 1 < S else A_sk
+        if n_stages > 1:
+            if s + 1 < n_stages:
+                A_work = A_work.at[:, g0:].set(A_loc)
+                A_sk = A_sk.at[:, g0:].set(A_sk_loc)
             R = R.at[:, g0:].set(R_loc)
             J = J.at[g0:].set(J_loc)
         else:
@@ -358,21 +375,26 @@ def _wy_reconstruct(Q_panel: jax.Array, c, precision):
     return orhr_col(Q_panel, c, precision)
 
 
-@partial(jax.jit, static_argnames=("cfg", "nblocks", "precision"))
+@partial(jax.jit, static_argnames=("cfg", "c0", "tidx0", "nblocks", "bsz",
+                                   "precision"))
 def _wy_loop(A, Y, Vall, Ts, order, retired, fail, cfg: BQRRPConfig,
-             nblocks: int, precision):
+             c0: int, tidx0: int, nblocks: int, bsz: int, precision):
     """The factored-form block loop: in-place Householder coordinates
     (live columns carry QᵀA), mask-based retirement, exact trsm sketch
     downdate (rl_bqrrp.hh:630-650 — exact here because WY coordinates
-    remove the BCGS drift term discussed in the explicit driver)."""
+    remove the BCGS drift term discussed in the explicit driver).
+
+    ``bsz`` is the block width (cfg.block_size for full blocks, the
+    remainder width for the final partial block); ``c0``/``tidx0`` the
+    starting column / T-slot offsets."""
     m, n = A.shape
-    b = cfg.block_size
+    b = bsz
     dtype = A.dtype
     rows = jnp.arange(m)
 
     def block(i, carry):
         A, Y, Vall, Ts, order, retired, fail = carry
-        c = i * b
+        c = c0 + i * b
         live = 1.0 - retired
 
         # -- qrcp_wide: LU pivots on the masked live sketch -------------
@@ -436,8 +458,13 @@ def _wy_loop(A, Y, Vall, Ts, order, retired, fail, cfg: BQRRPConfig,
         Y = Y - jnp.matmul(B, R12, precision=precision) * live2[None, :]
 
         # -- commit ------------------------------------------------------
+        # remainder blocks (b < T-slot width) pad T with identity; the
+        # matching V columns are zero, so H is unaffected
+        bT = Ts.shape[1]
+        Tpad = (T if b == bT
+                else jnp.eye(bT, dtype=dtype).at[:b, :b].set(T))
         Vall = jax.lax.dynamic_update_slice(Vall, V, (0, c))
-        Ts = jax.lax.dynamic_update_slice(Ts, T[None], (i, 0, 0))
+        Ts = jax.lax.dynamic_update_slice(Ts, Tpad[None], (tidx0 + i, 0, 0))
         order = jax.lax.dynamic_update_slice(order, chosen, (c,))
         retired = retired.at[chosen].set(1.0)
         return A, Y, Vall, Ts, order, retired, fail
@@ -459,7 +486,8 @@ def bqrrp_factored(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
     no cross-block Gram-Schmidt drift and no final re-orthogonalization
     pass (the explicit driver's ``final_orth`` cost disappears).
 
-    Requires min(m, n) % block_size == 0 (same as the explicit driver).
+    Any size/aspect ratio: a non-multiple min(m, n) runs one remainder
+    block (identity-padded T slot, zero-padded V columns).
     Returns ``(BQRRPFactors, next_state)`` (+ phase dict when
     ``timing=True``).
     """
@@ -471,10 +499,12 @@ def bqrrp_factored(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
         return timer.phase(name) if timing else contextlib.nullcontext()
 
     m, n = A.shape
-    b = cfg.block_size
+    b = min(cfg.block_size, min(m, n))
+    if b != cfg.block_size:
+        cfg = dataclasses.replace(cfg, block_size=b)
     K = min(m, n)
-    assert K % b == 0, f"min(m,n)={K} must be a multiple of block_size={b}"
-    nblocks = K // b
+    nb_full, rrem = divmod(K, b)
+    nblocks = nb_full + (1 if rrem else 0)
     d = int(cfg.d_factor * b)
     dtype = A.dtype
 
@@ -485,15 +515,21 @@ def bqrrp_factored(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
         if timing:
             device_sync(Y)
 
-    Vall = jnp.zeros((m, K), dtype)
+    Kpad = nblocks * b
+    Vall = jnp.zeros((m, Kpad), dtype)
     Ts = jnp.zeros((nblocks, b, b), dtype)
     order = jnp.zeros((K,), jnp.int32)
     retired = jnp.zeros((n,), dtype)
     fail = jnp.asarray(False)
 
     with _phase("loop"):
-        A_h, Y, Vall, Ts, order, retired, fail = _wy_loop(
-            A, Y, Vall, Ts, order, retired, fail, cfg, nblocks, precision)
+        carry = (A, Y, Vall, Ts, order, retired, fail)
+        if nb_full:
+            carry = _wy_loop(*carry, cfg, 0, 0, nb_full, b, precision)
+        if rrem:
+            carry = _wy_loop(*carry, cfg, nb_full * b, nb_full, 1, rrem,
+                             precision)
+        A_h, Y, Vall, Ts, order, retired, fail = carry
         if timing:
             device_sync(A_h)
 
@@ -521,12 +557,12 @@ def bqrrp_factored(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
 @partial(jax.jit, static_argnames=("k", "precision"))
 def bqrrp_q(fac: BQRRPFactors, k: int | None = None,
             precision=STABLE_PRECISION):
-    """Materialize the leading ``k`` (default all K) columns of Q from the
-    factored form — the orgqr/ungqr analogue (cost ≈ 4·m·K·k flops; the
-    reference likewise leaves this to the caller)."""
-    m, K = fac.V.shape
+    """Materialize the leading ``k`` (default all K = min(m,n)) columns of
+    Q from the factored form — the orgqr/ungqr analogue (cost ≈ 4·m·K·k
+    flops; the reference likewise leaves this to the caller)."""
+    m, _ = fac.V.shape
     nb, b, _ = fac.T.shape
-    k = K if k is None else k
+    k = fac.R.shape[0] if k is None else k
     Q = jnp.eye(m, k, dtype=fac.V.dtype)
 
     def apply_h(j, Q):
