@@ -114,17 +114,122 @@ def abrik_factor(A, state: RNGState, cfg: ABRIKConfig,
     return U, V, B, capture, state
 
 
+def _abrik_factor_timed(A, state, cfg, precision, timer):
+    """Iteration-split Golub-Kahan run accumulating the reference's
+    per-phase slots (rl_abrik.hh:734: allocation / sketching / gemm_A /
+    reorth / qr / r_cpy / s_cpy / norm / main_loop / get_factors /
+    total). Sub-phases are separately jitted + synced — measurement mode
+    only (the production path is the single fused abrik_factor graph)."""
+    from ..utils.timing import device_sync
+    m = A.shape[0] if hasattr(A, "shape") else A.n_rows
+    n = A.shape[1] if hasattr(A, "shape") else A.n_cols
+    b, q = cfg.block_size, cfg.max_iters
+    K = q * b
+    dtype = (A.dtype if hasattr(A, "dtype") else jnp.float32)
+
+    with timer.phase("allocation"):
+        key, state = state.spawn()
+        U = jnp.zeros((m, K), dtype)
+        V = jnp.zeros((n, K), dtype)
+        B = jnp.zeros((K, K), dtype)
+        capture = jnp.zeros((q,), dtype)
+        device_sync(B)
+    with timer.phase("sketching"):
+        V1raw = jax.random.normal(key, (n, b), dtype=dtype)
+        V1, _ = qr_econ(V1raw)
+        device_sync(V1)
+    with timer.phase("gemm_A"):
+        Z1 = _matmat(A, V1, precision)
+        device_sync(Z1)
+    with timer.phase("qr"):
+        U1, R1 = qr_econ(Z1)
+        device_sync(U1)
+    with timer.phase("r_cpy"):
+        U = U.at[:, :b].set(U1)
+        V = V.at[:, :b].set(V1)
+        B = B.at[:b, :b].set(R1)
+        device_sync(B)
+    with timer.phase("norm"):
+        capture = capture.at[0].set(jnp.linalg.norm(R1))
+        device_sync(capture)
+
+    def reorth(W, Basis):
+        for _ in range(cfg.reorth_passes):
+            W = W - jnp.matmul(Basis,
+                               jnp.matmul(Basis.T, W, precision=precision),
+                               precision=precision)
+        return W
+
+    t_loop0 = __import__("time").perf_counter()
+    for j in range(1, q):
+        c = j * b
+        Uj = U[:, (j - 1) * b:j * b]
+        Vj = V[:, (j - 1) * b:j * b]
+        Rj = B[(j - 1) * b:j * b, (j - 1) * b:j * b]
+        with timer.phase("gemm_A"):
+            W = _tmatmat(A, Uj, precision) - jnp.matmul(
+                Vj, Rj.T, precision=precision)
+            device_sync(W)
+        with timer.phase("reorth"):
+            W = reorth(W, V)
+            device_sync(W)
+        with timer.phase("qr"):
+            Vn, L = qr_econ(W)
+            device_sync(Vn)
+        with timer.phase("gemm_A"):
+            Z = _matmat(A, Vn, precision) - jnp.matmul(
+                Uj, L.T, precision=precision)
+            device_sync(Z)
+        with timer.phase("reorth"):
+            Z = reorth(Z, U)
+            device_sync(Z)
+        with timer.phase("qr"):
+            Un, Rn = qr_econ(Z)
+            device_sync(Un)
+        with timer.phase("s_cpy"):
+            U = U.at[:, c:c + b].set(Un)
+            V = V.at[:, c:c + b].set(Vn)
+            B = B.at[(j - 1) * b:j * b, c:c + b].set(L.T)
+            B = B.at[c:c + b, c:c + b].set(Rn)
+            device_sync(B)
+        with timer.phase("norm"):
+            capture = capture.at[j].set(jnp.linalg.norm(B))
+            device_sync(capture)
+    timer.times["main_loop"] = (__import__("time").perf_counter()
+                                - t_loop0)
+    return U, V, B, capture, state
+
+
 def abrik(A, k: int, cfg: ABRIKConfig, state: RNGState, tol: float = 0.0,
-          precision=STABLE_PRECISION):
+          precision=STABLE_PRECISION, timing: bool = False):
     """Truncated SVD via block-Krylov bidiagonalization.
 
     Returns ``(U, S, Vt, info, next_state)`` with the leading k singular
     triplets; ``info`` holds ``num_krylov_iters`` and the capture history
     (the reference's ``num_krylov_iters``/``singular_triplets_found``
     diagnostics, rl_abrik.hh fields).
+
+    ``timing=True`` appends the 13-slot phase dict (rl_abrik.hh:734) —
+    iteration-split synced execution, measurement mode only.
     """
     b, q = cfg.block_size, cfg.max_iters
     assert k <= q * b, f"need max_iters*block_size >= k ({q*b} < {k})"
+    timer = None
+    if timing:
+        from ..utils.timing import PhaseTimer, device_sync
+        timer = PhaseTimer()
+        import time as _time
+        t0 = _time.perf_counter()
+        Ub, Vb, B, capture, state = _abrik_factor_timed(
+            A, state, cfg, precision, timer)
+        with timer.phase("get_factors"):
+            Us, S, Vst = svd_econ(B, cfg.svd_method, precision)
+            U = jnp.matmul(Ub, Us[:, :k], precision=precision)
+            V = jnp.matmul(Vb, Vst.T[:, :k], precision=precision)
+            device_sync(U)
+        timer.times["total"] = _time.perf_counter() - t0
+        info = {"num_krylov_iters": q, "capture": capture}
+        return U, S[:k], V.T, info, state, timer.report()
     Ub, Vb, B, capture, state = abrik_factor(A, state, cfg, precision)
     # small dense SVD of the band factor (rl_abrik.hh:690-701)
     Us, S, Vst = svd_econ(B, cfg.svd_method, precision)

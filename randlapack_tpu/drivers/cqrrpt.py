@@ -10,7 +10,10 @@
 
 TPU redesign: all static shapes — the rank estimate is *returned* rather
 than used to shrink arrays (callers slice on host); the QRCP-on-sketch
-subroutine is selectable (scan-based geqp3, or BQRRP for bigger n).
+subroutine is selectable (scan-based geqp3, HQRRP, or BQRRP for bigger n).
+``timing=True`` reproduces the reference's 8-slot timing vector
+(rl_cqrrpt.hh:370-383: saso / qrcp / rank_reveal / a_mod_piv / a_mod_trsm
+/ cholqr / orth / total) as a named phase dict.
 """
 from __future__ import annotations
 
@@ -43,29 +46,19 @@ class CQRRPTConfig:
     vec_nnz: int = 2
     sketch: str = "saso"          # "saso" | "srht" | "gaussian"
     qrcp: QRCPKind = QRCPKind.geqp3
-    bqrrp_block: int = 128        # block size when qrcp == bqrrp
+    bqrrp_block: int = 128        # block size when qrcp == bqrrp/hqrrp
     eps_rank: float | None = None  # rank-estimate threshold (None → machine)
     orthogonalization: bool = False  # complete a rank-deficient basis to a
                                      # full orthonormal Q with projected
                                      # Gaussians (rl_cqrrpt.hh:343-368)
 
 
-@partial(jax.jit, static_argnames=("cfg", "precision"))
-def cqrrpt(A: jax.Array, cfg: CQRRPTConfig, state: RNGState,
-           precision=STABLE_PRECISION):
-    """Pivoted QR of tall A: A[:, J] ≈ Q R.
+# --- phases (shared by the fused jit path and the timed path) -------------
 
-    Returns ``(Q, R, J, rank, fail, next_state)`` — Q (m,n) orthonormal,
-    R (n,n) upper-triangular, J (n,) int32 pivots, ``rank`` the estimated
-    numerical rank (int32 scalar; columns of Q / rows of R beyond it are
-    garbage exactly as in the reference's truncated outputs — slice on
-    host), ``fail`` the CholQR breakdown flag.
-    """
+@partial(jax.jit, static_argnames=("cfg", "precision"))
+def _sketch_phase(A, cfg: CQRRPTConfig, state, precision):
     m, n = A.shape
     d = int(cfg.d_factor * n)
-
-    # 1. sketch (SASO for reference parity; SRHT rides the MXU and is the
-    # TPU-preferred choice for huge m, SURVEY.md §7)
     if cfg.sketch == "saso":
         op, state = fill_sparse(SparseDist(d, m, cfg.vec_nnz), state,
                                 dtype=A.dtype)
@@ -79,8 +72,11 @@ def cqrrpt(A: jax.Array, cfg: CQRRPTConfig, state: RNGState,
         key, state = state.spawn()
         S = jax.random.normal(key, (d, m), dtype=A.dtype) / math.sqrt(d)
         A_sk = jnp.matmul(S, A, precision=precision)
+    return A_sk, state
 
-    # 2. QRCP on the d×n sketch
+
+def _qrcp_phase(A_sk, cfg: CQRRPTConfig, state, precision):
+    n = A_sk.shape[1]
     if cfg.qrcp == QRCPKind.geqp3:
         _, R_sk, J = geqp3(A_sk, want_q=False, precision=precision)
     elif cfg.qrcp == QRCPKind.hqrrp:
@@ -94,49 +90,121 @@ def cqrrpt(A: jax.Array, cfg: CQRRPTConfig, state: RNGState,
         _, R_sk, J, _, _, state = bqrrp(
             A_sk, BQRRPConfig(block_size=cfg.bqrrp_block), state, precision)
         R_sk = R_sk[:n, :]
+    return R_sk, J, state
 
-    # 3. initial rank estimate off the sketch's R diagonal — the reference
-    # truncates where R[i,i]/R[0,0] < eps_initial (machine eps by default)
-    # just to keep the preconditioner invertible (rl_cqrrpt.hh:263-272);
-    # the *real* rank comes a posteriori.
-    eps = cfg.eps_rank or float(jnp.finfo(A.dtype).eps)
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _rank_phase(R_sk, cfg: CQRRPTConfig):
+    # the reference truncates where R[i,i]/R[0,0] < eps just to keep the
+    # preconditioner invertible (rl_cqrrpt.hh:263-272); the *real* rank
+    # comes a posteriori
+    n = R_sk.shape[1]
+    dtype = R_sk.dtype
+    eps = cfg.eps_rank or float(jnp.finfo(dtype).eps)
     diag = jnp.abs(jnp.diag(R_sk))
     rank = util.naive_rank_est(jnp.diag(R_sk), diag[0] * eps)
-
-    # 4. pivot + precondition + CholQR. Static-shape handling of rank
-    # deficiency: columns beyond `rank` are zeroed in the preconditioned
-    # matrix and the Gram matrix gets an identity trailing block —
-    # Cholesky nests, so the leading rank×rank factor (and the leading
-    # `rank` columns of Q) are exactly what the reference's shrunken
-    # computation produces; trailing Q columns are zero.
-    keep = (jnp.arange(n) < rank).astype(A.dtype)
+    keep = (jnp.arange(n) < rank).astype(dtype)
     dsafe = jnp.where(keep > 0, jnp.diag(R_sk), 1.0)
-    R_sk_safe = jnp.triu(R_sk) - jnp.diag(jnp.diag(R_sk)) + jnp.diag(dsafe)
-    A_piv = util.col_swap(A, J)
+    R_sk_safe = (jnp.triu(R_sk) - jnp.diag(jnp.diag(R_sk))
+                 + jnp.diag(dsafe))
+    return rank, keep, R_sk_safe
+
+
+@jax.jit
+def _piv_phase(A, J):
+    return util.col_swap(A, J)
+
+
+@jax.jit
+def _trsm_phase(A_piv, R_sk_safe, keep):
     A_pre = jax.lax.linalg.triangular_solve(
         R_sk_safe, A_piv, left_side=False, lower=False) * keep[None, :]
-    G = jnp.matmul(A_pre.T, A_pre, precision=precision) + jnp.diag(1.0 - keep)
+    return A_pre
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def _cholqr_phase(A_pre, keep, R_sk_safe, precision):
+    # static-shape rank deficiency: zeroed columns + identity trailing
+    # block in the Gram — Cholesky nests, so the leading rank×rank factor
+    # matches the reference's shrunken computation exactly
+    n = A_pre.shape[1]
+    G = (jnp.matmul(A_pre.T, A_pre, precision=precision)
+         + jnp.diag(1.0 - keep))
     L = jax.lax.linalg.cholesky(G)
     fail = jnp.any(jnp.isnan(L))
     R_chol = L.T
     Q = jax.lax.linalg.triangular_solve(
         R_chol, A_pre, left_side=False, lower=False)
     R = jnp.matmul(R_chol, R_sk_safe, precision=precision)
+    return Q, R, fail
 
+
+@partial(jax.jit, static_argnames=("precision",))
+def _orth_phase(Q, keep, key, fail, precision):
+    # basis completion (rl_cqrrpt.hh:343-368): replace the zeroed trailing
+    # columns with Gaussians projected against the leading rank columns,
+    # orthonormalized by CholQR (all n candidates completed, rank-masked)
+    G_rand = jax.random.normal(key, Q.shape, dtype=Q.dtype)
+    Qk = Q * keep[None, :]
+    for _ in range(2):  # two projection passes (BCGS2)
+        G_rand = G_rand - jnp.matmul(
+            Qk, jnp.matmul(Qk.T, G_rand, precision=precision),
+            precision=precision)
+    from ..ops.cholqr import cholqr2
+    Qc, _, f2 = cholqr2(G_rand, precision)
+    return jnp.where(keep[None, :] > 0, Q, Qc), fail | f2
+
+
+def cqrrpt(A: jax.Array, cfg: CQRRPTConfig, state: RNGState,
+           precision=STABLE_PRECISION, timing: bool = False):
+    """Pivoted QR of tall A: A[:, J] ≈ Q R.
+
+    Returns ``(Q, R, J, rank, fail, next_state)`` — Q (m,n) orthonormal,
+    R (n,n) upper-triangular, J (n,) int32 pivots, ``rank`` the estimated
+    numerical rank (int32 scalar; columns of Q / rows of R beyond it are
+    garbage exactly as in the reference's truncated outputs — slice on
+    host), ``fail`` the CholQR breakdown flag.
+
+    ``timing=True`` appends the 8-phase metrics dict (synchronizes
+    between phases — measurement mode only).
+    """
+    from ..utils.timing import PhaseTimer, device_sync
+    timer = PhaseTimer() if timing else None
+
+    def _phase(name):
+        import contextlib
+        return timer.phase(name) if timing else contextlib.nullcontext()
+
+    with _phase("saso"):
+        A_sk, state = _sketch_phase(A, cfg, state, precision)
+        if timing:
+            device_sync(A_sk)
+    with _phase("qrcp"):
+        R_sk, J, state = _qrcp_phase(A_sk, cfg, state, precision)
+        if timing:
+            device_sync(R_sk)
+    with _phase("rank_reveal"):
+        rank, keep, R_sk_safe = _rank_phase(R_sk, cfg)
+        if timing:
+            device_sync(R_sk_safe)
+    with _phase("a_mod_piv"):
+        A_piv = _piv_phase(A, J)
+        if timing:
+            device_sync(A_piv)
+    with _phase("a_mod_trsm"):
+        A_pre = _trsm_phase(A_piv, R_sk_safe, keep)
+        if timing:
+            device_sync(A_pre)
+    with _phase("cholqr"):
+        Q, R, fail = _cholqr_phase(A_pre, keep, R_sk_safe, precision)
+        if timing:
+            device_sync(Q)
     if cfg.orthogonalization:
-        # basis completion (rl_cqrrpt.hh:343-368): replace the zeroed
-        # trailing columns with Gaussians projected against the leading
-        # rank columns, orthonormalized by CholQR. Static shapes: all n
-        # candidates are completed, then selected per-column by rank mask.
-        key, state = state.spawn()
-        G_rand = jax.random.normal(key, Q.shape, dtype=A.dtype)
-        Qk = Q * keep[None, :]
-        for _ in range(2):  # two projection passes (BCGS2)
-            G_rand = G_rand - jnp.matmul(
-                Qk, jnp.matmul(Qk.T, G_rand, precision=precision),
-                precision=precision)
-        from ..ops.cholqr import cholqr2
-        Qc, _, f2 = cholqr2(G_rand, precision)
-        fail = fail | f2
-        Q = jnp.where(keep[None, :] > 0, Q, Qc)
+        with _phase("orth"):
+            key, state = state.spawn()
+            Q, fail = _orth_phase(Q, keep, key, fail, precision)
+            if timing:
+                device_sync(Q)
+    if timing:
+        return Q, R, J, rank, fail, state, timer.report()
     return Q, R, J, rank, fail, state

@@ -4,7 +4,10 @@ of arXiv:2111.11148): sketch A, QR the small sketch, use its R as a right
 preconditioner so one CholQR pass orthogonalizes even ill-conditioned A.
 
 TPU-first: the sketch is SASO (scatter-add) or SRHT (MXU); the Gram matrix
-is one big MXU matmul. Everything is one jitted graph.
+is one big MXU matmul. Everything is one jitted graph; ``timing=True``
+reproduces the reference's 10-slot timing vector (rl_cqrrt.hh:258-280:
+saso / qr / precond / gram / potrf / q / finalize / total) as named
+phases with device syncs in between.
 """
 from __future__ import annotations
 
@@ -53,14 +56,75 @@ def _sketch(A, d, cfg: CQRRTConfig, state: RNGState, precision):
 
 
 @partial(jax.jit, static_argnames=("cfg", "precision"))
+def _sketch_jit(A, cfg, state, precision):
+    d = int(cfg.d_factor * A.shape[1])
+    return _sketch(A, d, cfg, state, precision)
+
+
+@jax.jit
+def _sketch_qr(A_sk):
+    _, R_sk = qr_econ(A_sk)
+    eps = jnp.finfo(A_sk.dtype).eps
+    dref = jnp.max(jnp.abs(jnp.diag(R_sk))) * eps
+    dsafe = jnp.where(jnp.abs(jnp.diag(R_sk)) > dref,
+                      jnp.diag(R_sk),
+                      jnp.maximum(dref, eps))
+    return R_sk - jnp.diag(jnp.diag(R_sk)) + jnp.diag(dsafe)
+
+
+def _cqrrt_timed(A, cfg, state, precision):
+    """Phase-split execution mirroring rl_cqrrt.hh's 10 slots (precond /
+    gram / potrf / q split out of the fused preconditioned CholQR)."""
+    from ..utils.timing import PhaseTimer, device_sync
+    timer = PhaseTimer()
+    with timer.phase("saso"):
+        A_sk, state = _sketch_jit(A, cfg, state, precision)
+        device_sync(A_sk)
+    with timer.phase("qr"):
+        R_sk = _sketch_qr(A_sk)
+        device_sync(R_sk)
+    with timer.phase("precond"):
+        A_pre = jax.jit(lambda r, a: jax.lax.linalg.triangular_solve(
+            r, a, left_side=False, lower=False))(R_sk, A)
+        device_sync(A_pre)
+    with timer.phase("gram"):
+        G = jax.jit(lambda x: jnp.matmul(x.T, x, precision=precision))(
+            A_pre)
+        device_sync(G)
+    with timer.phase("potrf"):
+        L = jax.jit(jax.lax.linalg.cholesky)(0.5 * (G + G.T))
+        device_sync(L)
+    fail = jnp.any(jnp.isnan(L))
+    Q = None
+    if cfg.compute_q:
+        with timer.phase("q"):
+            Q = jax.jit(lambda l, x: jax.lax.linalg.triangular_solve(
+                l.T, x, left_side=False, lower=False))(L, A_pre)
+            device_sync(Q)
+    with timer.phase("finalize"):
+        R = jax.jit(lambda l, r: jnp.matmul(l.T, r, precision=precision))(
+            L, R_sk)
+        device_sync(R)
+    return Q, R, fail, state, timer.report()
+
+
 def cqrrt(A: jax.Array, cfg: CQRRTConfig, state: RNGState,
-          precision=STABLE_PRECISION):
-    """Unpivoted QR of tall A. Returns ``(Q, R, fail, next_state)``.
+          precision=STABLE_PRECISION, timing: bool = False):
+    """Unpivoted QR of tall A. Returns ``(Q, R, fail, next_state)``
+    (+ the 10-slot phase dict when ``timing=True``).
 
     ``fail`` mirrors the reference's potrf-failure signal — True means the
     preconditioned CholQR broke down (A numerically rank-deficient beyond
     what preconditioning fixes).
     """
+    if timing:
+        return _cqrrt_timed(A, cfg, state, precision)
+    return _cqrrt_jit(A, cfg, state, precision)
+
+
+@partial(jax.jit, static_argnames=("cfg", "precision"))
+def _cqrrt_jit(A: jax.Array, cfg: CQRRTConfig, state: RNGState,
+               precision=STABLE_PRECISION):
     m, n = A.shape
     d = int(cfg.d_factor * n)
     A_sk, state = _sketch(A, d, cfg, state, precision)
