@@ -3,13 +3,15 @@ extras/linops/ext_cholsolver_linop.hh — ``CholSolverLinOp`` exposes K⁻¹ (or
 the half-solve L⁻¹) of a sparse SPD matrix as a LinearOperator, Eigen
 computing the factorization; ext_lusolver_linop.hh:53 same with SparseLU).
 
-TPU mapping (SURVEY.md §7 "hard parts"): sparse direct factorization has no
-TPU story, so the factorization and triangular solves run on the HOST
-(scipy SuperLU / Cholesky-via-splu) and are exposed to jitted device code
-through ``jax.pure_callback`` — the operator composes with every driver in
-this framework (ABRIK over K⁻¹, CholQR_linops over solves, …) at the cost
-of a host↔device transfer per apply, exactly the role the Eigen-backed
-operators play in the reference.
+TPU mapping (SURVEY.md §7 "hard parts"): sparse direct *factorization* has
+no TPU story, so it runs once on the HOST (scipy SuperLU). The bulk
+multi-RHS triangular solves — the part the reference routes through
+RandBLAS ``sparse_data::trsm`` — run ON DEVICE by default via the blocked
+gather-based :func:`randlapack_tpu.sketching.sparse_data.sparse_trsm`
+(``device_solves=True``): x = P_c·U⁻¹·L⁻¹·P_r·b with the sparse L/U
+factors shipped to the device as padded-CSR constants at trace time.
+``device_solves=False`` falls back to per-apply host callbacks
+(``jax.pure_callback``), which solve in f64 regardless of device dtype.
 """
 from __future__ import annotations
 
@@ -27,14 +29,42 @@ class _HostSolveOp:
     each operator instance compiles its consumers once.
     """
 
-    def __init__(self, rows, cols, vals, n, dtype):
+    def __init__(self, rows, cols, vals, n, dtype, device_solves=True):
         import scipy.sparse as sp
         self._K = sp.csc_matrix(
             (np.asarray(vals, dtype=np.float64),
              (np.asarray(rows), np.asarray(cols))), shape=(n, n))
         self._n = n
         self._dtype = dtype
+        self._device = device_solves
         self._factorize()
+
+    def _device_solve(self, X, transpose=False):
+        """Device path: x = P_c U⁻¹ L⁻¹ P_r b (splu: P_r A P_c = L U);
+        transpose solves run the factors in reverse."""
+        from ..sketching.sparse_data import sparse_trsm
+        lu = self._lu
+        L, U = lu.L.tocoo(), lu.U.tocoo()
+        n = self._n
+        if not transpose:
+            t = X[jnp.asarray(np.argsort(lu.perm_r))]
+            y = sparse_trsm(L.row, L.col,
+                            L.data.astype(np.dtype(self._dtype)), n, t,
+                            lower=True)
+            z = sparse_trsm(U.row, U.col,
+                            U.data.astype(np.dtype(self._dtype)), n, y,
+                            lower=False)
+            return z[jnp.asarray(lu.perm_c)]
+        # Aᵀ x = b:  x = P_r L⁻ᵀ U⁻ᵀ P_cᵀ b — via the transposed factors
+        Lt, Ut = lu.L.T.tocoo(), lu.U.T.tocoo()
+        t = X[jnp.asarray(np.argsort(lu.perm_c))]
+        y = sparse_trsm(Ut.row, Ut.col,
+                        Ut.data.astype(np.dtype(self._dtype)), n, t,
+                        lower=True)
+        z = sparse_trsm(Lt.row, Lt.col,
+                        Lt.data.astype(np.dtype(self._dtype)), n, y,
+                        lower=False)
+        return z[jnp.asarray(lu.perm_r)]
 
     # protocol ---------------------------------------------------------
     @property
@@ -58,6 +88,8 @@ class _HostSolveOp:
             np.asarray(B).dtype)
 
     def matmat(self, X, precision=None):
+        if self._device and not getattr(self, "_half", False):
+            return self._device_solve(X)
         shape = jax.ShapeDtypeStruct(X.shape, X.dtype)
         return jax.pure_callback(self._solve_host, shape, X,
                                  vmap_method="sequential")
@@ -88,9 +120,9 @@ class CholSolverLinOp(_HostSolveOp):
     (reference's layout-flip trick :30-33 becomes an option flag)."""
 
     def __init__(self, rows, cols, vals, n, dtype=jnp.float32,
-                 half: bool = False):
+                 half: bool = False, device_solves: bool = True):
         self._half = half
-        super().__init__(rows, cols, vals, n, dtype)
+        super().__init__(rows, cols, vals, n, dtype, device_solves)
 
     def _factorize(self):
         import scipy.sparse as sp
@@ -123,8 +155,9 @@ class LUSolverLinOp(_HostSolveOp):
     """K⁻¹ of a general sparse matrix via SparseLU (reference
     ext_lusolver_linop.hh:53)."""
 
-    def __init__(self, rows, cols, vals, n, dtype=jnp.float32):
-        super().__init__(rows, cols, vals, n, dtype)
+    def __init__(self, rows, cols, vals, n, dtype=jnp.float32,
+                 device_solves: bool = True):
+        super().__init__(rows, cols, vals, n, dtype, device_solves)
 
     def _factorize(self):
         import scipy.sparse.linalg as spla
@@ -134,6 +167,8 @@ class LUSolverLinOp(_HostSolveOp):
         return self._lu.solve(B)
 
     def tmatmat(self, X, precision=None):
+        if self._device:
+            return self._device_solve(X, transpose=True)
         shape = jax.ShapeDtypeStruct(X.shape, X.dtype)
 
         def host(B):

@@ -7,6 +7,7 @@ from .apply import sketch_left, sketch_right
 from .sampling import (sample_distinct_uniform, sample_indices_iid,
                        sample_indices_iid_uniform, weights_to_cdf)
 from . import sparse_data
+from .sparse_data import sparse_trsm
 
 __all__ = [
     "DenseDist", "DenseSkOp", "ScalarDist", "dense_skop", "fill_dense",
@@ -16,4 +17,5 @@ __all__ = [
     "sketch_left", "sketch_right",
     "sample_distinct_uniform", "sample_indices_iid",
     "sample_indices_iid_uniform", "weights_to_cdf", "sparse_data",
+    "sparse_trsm",
 ]

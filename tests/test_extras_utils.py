@@ -149,3 +149,52 @@ class TestTestingHelpers:
                 _jax.jit(lambda x: _jnp.log(x) * 0 + _jnp.sqrt(x))(
                     _jnp.asarray(-1.0))
         assert not _jax.config.jax_debug_nans
+
+
+class TestDeviceSolves:
+    """Device-path bulk solves (reference architecture parity: factor once
+    on the host, bulk trsm on device — ext_cholsolver_linop.hh +
+    RandBLAS sparse_data::trsm)."""
+
+    def test_chol_device_matches_host(self):
+        import scipy.sparse as sp
+        rng = np.random.default_rng(0)
+        n = 250
+        M = sp.random(n, n, density=0.03, random_state=rng)
+        K = (M @ M.T + sp.eye(n) * n).tocoo()
+        B = jnp.asarray(rng.standard_normal((n, 5)))
+        dev = CholSolverLinOp(K.row, K.col, K.data, n, jnp.float64,
+                              device_solves=True)
+        host = CholSolverLinOp(K.row, K.col, K.data, n, jnp.float64,
+                               device_solves=False)
+        np.testing.assert_allclose(np.asarray(dev.matmat(B)),
+                                   np.asarray(host.matmat(B)), atol=1e-10)
+
+    def test_lu_device_matmat_tmatmat(self):
+        import scipy.sparse as sp
+        rng = np.random.default_rng(1)
+        n = 250
+        G = (sp.random(n, n, density=0.05, random_state=rng)
+             + sp.eye(n) * 5).tocoo()
+        B = jnp.asarray(rng.standard_normal((n, 4)))
+        dev = LUSolverLinOp(G.row, G.col, G.data, n, jnp.float64)
+        ref = sp.linalg.spsolve(G.tocsc(), np.asarray(B))
+        reft = sp.linalg.spsolve(G.tocsc().T, np.asarray(B))
+        np.testing.assert_allclose(np.asarray(dev.matmat(B)), ref,
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(dev.tmatmat(B)), reft,
+                                   atol=1e-10)
+
+    def test_device_solve_inside_jit(self):
+        import scipy.sparse as sp
+        rng = np.random.default_rng(2)
+        n = 150
+        G = (sp.random(n, n, density=0.05, random_state=rng)
+             + sp.eye(n) * 5).tocoo()
+        op = LUSolverLinOp(G.row, G.col, G.data, n, jnp.float64)
+        B = jnp.asarray(rng.standard_normal((n, 2)))
+        f = jax.jit(lambda x: op.matmat(x))
+        np.testing.assert_allclose(np.asarray(f(B)),
+                                   sp.linalg.spsolve(G.tocsc(),
+                                                     np.asarray(B)),
+                                   atol=1e-10)

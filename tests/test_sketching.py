@@ -200,3 +200,80 @@ class TestSparseData:
         A = rng.standard_normal((6, m))
         np.testing.assert_allclose(np.asarray(sd.right_spmm(jnp.asarray(A), bcoo)),
                                    A @ D, atol=1e-12)
+
+
+class TestSASOGatherApply:
+    """TPU-friendly gather-layer SASO apply == scatter reference
+    (SURVEY.md §7 "SASO on TPU"; measured within 1.11x of SRHT-sketched
+    CQRRPT at 131072x2048 on the chip)."""
+
+    def test_matches_scatter(self):
+        from randlapack_tpu.sketching import (SparseDist, fill_sparse,
+                                              saso_left_apply)
+        for (d, m, nnz, n) in [(64, 1000, 2, 33), (40, 300, 4, 7),
+                               (128, 128, 8, 16)]:
+            op, _ = fill_sparse(SparseDist(d, m, nnz), RNGState(0),
+                                dtype=jnp.float64)
+            A = jax.random.normal(jax.random.key(1), (m, n), jnp.float64)
+            o1 = saso_left_apply(op, A, method="scatter")
+            o2 = saso_left_apply(op, A, method="gather")
+            np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                                       atol=1e-12)
+
+    def test_gather_jits(self):
+        from randlapack_tpu.sketching import (SparseDist, fill_sparse,
+                                              saso_left_apply)
+        op, _ = fill_sparse(SparseDist(32, 500, 2), RNGState(2),
+                            dtype=jnp.float64)
+        A = jax.random.normal(jax.random.key(3), (500, 5), jnp.float64)
+        f = jax.jit(lambda s, a: saso_left_apply(s, a, method="gather"))
+        np.testing.assert_allclose(
+            np.asarray(f(op, A)),
+            np.asarray(saso_left_apply(op, A, method="scatter")),
+            atol=1e-12)
+
+
+class TestSparseTrsm:
+    """Device-side blocked sparse triangular solve — the RandBLAS
+    sparse_data::trsm capability (SURVEY.md §2.9)."""
+
+    def _tri(self, n, lower, seed=0, diagless=False):
+        import scipy.sparse as sp
+        rng = np.random.default_rng(seed)
+        T = sp.random(n, n, density=0.02, random_state=rng)
+        T = sp.tril(T, -1) if lower else sp.triu(T, 1)
+        if not diagless:
+            T = T + sp.diags(rng.uniform(1, 2, n))
+        return T.tocoo(), rng
+
+    def test_lower_upper_multirhs(self):
+        import scipy.sparse as sp
+        from randlapack_tpu.sketching.sparse_data import sparse_trsm
+        for lower in [True, False]:
+            T, rng = self._tri(500, lower)
+            B = rng.standard_normal((500, 7))
+            X = sparse_trsm(T.row, T.col, T.data, 500, jnp.asarray(B),
+                            lower=lower, block=64)
+            Xr = sp.linalg.spsolve_triangular(T.tocsr(), B, lower=lower)
+            np.testing.assert_allclose(np.asarray(X), Xr, atol=1e-11)
+
+    def test_unit_diagonal_ignores_stored_diag(self):
+        import scipy.sparse as sp
+        from randlapack_tpu.sketching.sparse_data import sparse_trsm
+        T, rng = self._tri(200, True)      # has a stored non-unit diagonal
+        b = rng.standard_normal(200)
+        x = sparse_trsm(T.row, T.col, T.data, 200, jnp.asarray(b),
+                        lower=True, unit_diagonal=True, block=64)
+        Tu = (sp.tril(T, -1) + sp.eye(200)).tocsr()
+        xr = sp.linalg.spsolve_triangular(Tu, b, lower=True)
+        np.testing.assert_allclose(np.asarray(x), xr, atol=1e-12)
+
+    def test_non_multiple_block(self):
+        import scipy.sparse as sp
+        from randlapack_tpu.sketching.sparse_data import sparse_trsm
+        T, rng = self._tri(333, True, seed=3)
+        B = rng.standard_normal((333, 3))
+        X = sparse_trsm(T.row, T.col, T.data, 333, jnp.asarray(B),
+                        lower=True, block=128)
+        Xr = sp.linalg.spsolve_triangular(T.tocsr(), B, lower=True)
+        np.testing.assert_allclose(np.asarray(X), Xr, atol=1e-11)
