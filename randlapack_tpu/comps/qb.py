@@ -51,8 +51,11 @@ def qb_blocked(A: jax.Array, k: int, cfg: QBConfig, state: RNGState,
     # fori_loop-safe RNG: per-block independent streams branched off `state`
     base = state
 
+    eps = jnp.finfo(A.dtype).eps
+    tol_orth = 100.0 * jnp.sqrt(eps) * jnp.sqrt(float(b))
+
     def block(i, carry):
-        A_work, Q, B, errs = carry
+        A_work, Q, B, errs, stopped = carry
         bstate = base.branch(i)  # independent per-block stream
         Qi, _ = rf(A_work, b, cfg.rf, bstate, precision)
         # re-orthogonalize against all previous blocks (zeros in unfilled
@@ -64,13 +67,31 @@ def qb_blocked(A: jax.Array, k: int, cfg: QBConfig, state: RNGState,
                           lambda y: orth(y, Stab.hqr, precision)[0],
                           lambda y: Qi, Yi)
         Bi = jnp.matmul(Qi.T, A_work, precision=precision)
-        A_work = A_work - jnp.matmul(Qi, Bi, precision=precision)
-        Q = jax.lax.dynamic_update_slice(Q, Qi, (0, i * b))
-        B = jax.lax.dynamic_update_slice(B, Bi, (i * b, 0))
-        errs = errs.at[i].set(jnp.linalg.norm(A_work) / norm_A)
-        return A_work, Q, B, errs
+        A_next = A_work - jnp.matmul(Qi, Bi, precision=precision)
+        new_err = jnp.linalg.norm(A_next) / norm_A
+        prev_err = jnp.where(i > 0, errs[jnp.maximum(i - 1, 0)], jnp.inf)
+        # in-loop early-stop conditions (rl_qb.hh:228, codes 3-4): error
+        # growth or orthogonality loss of the new block — the reference
+        # discards the offending block and returns the previous iterate;
+        # here the loop freezes (all later blocks are no-ops), which is
+        # the static-shape equivalent.
+        grew = new_err > prev_err * (1.0 + 100.0 * eps)
+        orth_err = jnp.linalg.norm(
+            jnp.matmul(Qi.T, Qi, precision=precision)
+            - jnp.eye(b, dtype=A.dtype))
+        lost = orth_err > tol_orth
+        stop_now = stopped | grew | lost
+        keep = jnp.where(stop_now, 0.0, 1.0).astype(A.dtype)
+        A_work = A_work * (1.0 - keep) + A_next * keep
+        Q = jax.lax.dynamic_update_slice(Q, Qi * keep, (0, i * b))
+        B = jax.lax.dynamic_update_slice(B, Bi * keep, (i * b, 0))
+        errs = errs.at[i].set(jnp.where(stop_now,
+                                        jnp.minimum(prev_err, 1.0),
+                                        new_err))
+        return A_work, Q, B, errs, stop_now
 
-    _, Q, B, errs = jax.lax.fori_loop(0, nblocks, block, (A, Q, B, errs))
+    _, Q, B, errs, stopped = jax.lax.fori_loop(
+        0, nblocks, block, (A, Q, B, errs, jnp.asarray(False)))
     # advance the counter so later branch()/spawn() streams differ from the
     # per-block streams consumed above (branch folds the counter in)
     return Q, B, errs, base.spawn()[1]
@@ -80,7 +101,9 @@ def qb_blocked(A: jax.Array, k: int, cfg: QBConfig, state: RNGState,
 # (rl_qb.hh:193-256): the subset meaningful under the static design.
 QB_OK = 0                 # tolerance met within rank budget
 QB_RANK_EXHAUSTED = 1     # ran to rank k without reaching tol
-QB_ERROR_GREW = 2         # blockwise error increased (lost accuracy)
+QB_ERROR_GREW = 2         # blockwise error increased -> loop froze
+QB_STAGNATED = 3          # error history froze before the rank budget
+                          # (in-loop growth/orthogonality stop tripped)
 
 
 def qb(A: jax.Array, k: int, cfg: QBConfig, state: RNGState, tol: float = 0.0,
@@ -103,11 +126,18 @@ def qb(A: jax.Array, k: int, cfg: QBConfig, state: RNGState, tol: float = 0.0,
 
 
 def qb_status(errs, tol: float) -> int:
-    """Diagnose a blocked-QB error history (reference return codes)."""
+    """Diagnose a blocked-QB error history (reference return codes).
+
+    The in-loop stop (qb_blocked) freezes the history on error growth or
+    orthogonality loss, so a flat tail before the budget signals the
+    tripped condition (codes 3-4 analogue)."""
     import numpy as np
     e = np.asarray(errs)
     if np.any(np.diff(e) > 1e-12):
         return QB_ERROR_GREW
     if e.min() <= tol:
         return QB_OK
+    flat = np.isclose(np.diff(e), 0.0, atol=0.0)
+    if len(e) > 1 and flat[-1] and not flat.all():
+        return QB_STAGNATED
     return QB_RANK_EXHAUSTED

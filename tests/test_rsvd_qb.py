@@ -164,3 +164,29 @@ class TestDifferentiability:
         g2 = jax.grad(loss_rsvd)(A)
         fd2 = (loss_rsvd(A.at[2, 2].add(e)) - loss_rsvd(A.at[2, 2].add(-e))) / (2 * e)
         np.testing.assert_allclose(float(g2[2, 2]), float(fd2), rtol=1e-4)
+
+
+class TestQBInLoopStops:
+    """In-loop early-stop parity (rl_qb.hh:228, codes 3-4): the blocked
+    loop freezes on error growth / orthogonality loss instead of
+    committing a bad block, so the error history is non-increasing by
+    construction and a pre-budget flat tail is diagnosable."""
+
+    def test_error_history_non_increasing(self):
+        from randlapack_tpu.comps import QBConfig, qb_blocked
+        A, st = mat_gen(MatGenInfo(300, 200, MatType.exponential,
+                                   cond_num=1e10), RNGState(21))
+        Q, B, errs, _ = qb_blocked(A, 128, QBConfig(block_size=32), st)
+        e = np.asarray(errs)
+        assert np.all(np.diff(e) <= 1e-12), e
+
+    def test_low_rank_freezes_not_corrupts(self):
+        from randlapack_tpu.comps import QBConfig, qb_blocked
+        from randlapack_tpu.comps.qb import qb_status, QB_ERROR_GREW
+        A, st = mat_gen(MatGenInfo(300, 200, MatType.polynomial,
+                                   cond_num=1e3, rank=32), RNGState(22))
+        Q, B, errs, _ = qb_blocked(A, 128, QBConfig(block_size=32), st)
+        # rank captured in the first block; later blocks must not degrade
+        res = float(jnp.linalg.norm(A - Q @ B) / jnp.linalg.norm(A))
+        assert res < 1e-10
+        assert qb_status(errs, 1e-10) != QB_ERROR_GREW
