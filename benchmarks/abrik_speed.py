@@ -3,6 +3,10 @@ benchmark/bench_ABRIK/ABRIK_speed_comparisons[_sparse].cc — ABRIK vs RSVD
 vs Spectra SVDS).
 
 Usage: python benchmarks/abrik_speed.py [m n k] [--sparse density]
+       python benchmarks/abrik_speed.py k --mtx path.mtx
+The --mtx mode reads a Matrix Market file and runs ABRIK on its
+SparseLinOp (the reference's ABRIK_speed_comparisons_sparse.cc:309-316
+file-input mode).
 """
 import sys
 import time
@@ -21,6 +25,24 @@ from randlapack_tpu.utils import device_sync
 
 
 def main():
+    if "--mtx" in sys.argv:
+        # .mtx file-input mode (ABRIK_speed_comparisons_sparse.cc:309-316)
+        path = sys.argv[sys.argv.index("--mtx") + 1]
+        k = int(sys.argv[1]) if sys.argv[1].isdigit() else 64
+        from randlapack_tpu.extras.io import mm_read
+        import numpy as _np
+        rows, cols, vals, shape = mm_read(path)
+        m, n = shape
+        Ad = jnp.zeros((m, n), jnp.float32).at[
+            jnp.asarray(rows), jnp.asarray(cols)].add(
+            jnp.asarray(vals, jnp.float32))
+        from randlapack_tpu.linops import SparseLinOp
+        A_op = SparseLinOp.from_dense(Ad)
+        A = Ad
+        st = RNGState(0)
+        print(f"mtx mode: {path} ({m}x{n}, nnz {len(vals)})")
+        run(m, n, k, A, A_op, st)
+        return
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 64
@@ -37,6 +59,10 @@ def main():
     else:
         A, st = fast_decay_matrix(m, n, RNGState(0), decay=12.0)
         A_op = A
+    run(m, n, k, A, A_op, st)
+
+
+def run(m, n, k, A, A_op, st):
     hp = jax.lax.Precision.HIGHEST
     from randlapack_tpu.ops.svd import svd_econ
     s_ref = svd_econ(A)[1][:k]
