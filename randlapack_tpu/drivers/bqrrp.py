@@ -87,6 +87,39 @@ class BQRRPConfig:
                                   # full-width LU (the reference's luqr).
 
 
+def _fix_pivots(chosen, retired):
+    """Make an LU-derived pivot block valid: b distinct, un-retired
+    columns. LU partial pivoting on the *masked* sketch can return
+    retired (zeroed) columns when the live block is numerically zero —
+    e.g. past the numerical rank, or an all-zero trailing window — and
+    duplicated/retired picks would corrupt the retirement bookkeeping.
+    Invalid slots are remapped to the lowest-index unchosen live columns
+    (the same "any order" the reference's early-exit leaves them in,
+    rl_bqrrp.hh:373-399)."""
+    b = chosen.shape[0]
+    n = retired.shape[0]
+    live_mask = retired < 0.5
+    first_pos = jnp.full((n,), b, jnp.int32).at[chosen].min(
+        jnp.arange(b, dtype=jnp.int32))
+    valid = live_mask[chosen] & (first_pos[chosen]
+                                 == jnp.arange(b, dtype=jnp.int32))
+
+    def remap(args):
+        chosen, valid = args
+        taken = jnp.zeros((n,), bool).at[jnp.where(valid, chosen, n)].set(
+            True, mode="drop")
+        avail = live_mask & ~taken
+        cols = jnp.arange(n, dtype=jnp.int32)
+        ord_ = jnp.argsort(jnp.where(avail, cols, n + cols)).astype(
+            jnp.int32)
+        slot_rank = jnp.cumsum(~valid) - 1
+        return jnp.where(valid, chosen, ord_[slot_rank])
+
+    # healthy blocks skip the remap (lax.cond executes one branch)
+    return jax.lax.cond(jnp.all(valid), lambda a: a[0], remap,
+                        (chosen, valid))
+
+
 def _safe_triu_diag(R, dtype):
     """Replace (near-)zero diagonal entries so triangular solves stay
     finite; deficient columns produce garbage Q beyond the returned rank,
@@ -143,6 +176,7 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
         else:
             _, _, perm_lu = jax.lax.linalg.lu(A_sk_m.T)
             chosen = perm_lu[:b]
+        chosen = _fix_pivots(chosen, retired)
 
         # -- panel QR: sketch-preconditioned CholQR -----------------------
         A_sk_panel = jnp.take(A_sk, chosen, axis=1)     # (d, b) gather
@@ -409,6 +443,7 @@ def _wy_loop(A, Y, Vall, Ts, order, retired, fail, cfg: BQRRPConfig,
         else:
             _, _, perm_lu = jax.lax.linalg.lu(Y_m.T)
             chosen = perm_lu[:b]
+        chosen = _fix_pivots(chosen, retired)
 
         # -- panel QR at row offset c (sketch-preconditioned CholQR) ----
         panel = jnp.take(A, chosen, axis=1)
@@ -425,11 +460,20 @@ def _wy_loop(A, Y, Vall, Ts, order, retired, fail, cfg: BQRRPConfig,
             Q_panel, R2, f2 = cholqr(Q_panel, precision)
             R11 = jnp.matmul(R2, R11, precision=precision)
             failp = failp | f2
-        # rescue: shifted CholQR3 is breakdown-free (GEMM-form fallback)
+        # rescue 1: shifted CholQR3 (GEMM-form, survives ill-conditioning)
         Q_r, R_r, f_r = shifted_cholqr3(panel_m, precision)
         Q_panel = jnp.where(failp, Q_r, Q_panel)
         R11 = jnp.where(failp, R_r, R11)
         fail = fail | (failp & f_r)
+        # rescue 2: exactly-zero/degenerate panels NaN even the shifted
+        # pass — substitute identity columns so outputs stay finite with
+        # `fail` raised (repo convention: failure is a flag, never NaN)
+        nanp = jnp.any(jnp.isnan(Q_panel)) | jnp.any(jnp.isnan(R11))
+        E_pad = jnp.zeros((m, b), dtype).at[
+            c + jnp.arange(b), jnp.arange(b)].set(1.0)
+        Q_panel = jnp.where(nanp, E_pad, Q_panel)
+        R11 = jnp.where(nanp, 0.0, R11)
+        fail = fail | nanp
         R11 = jnp.triu(R11)
 
         # -- LU-free Householder reconstruction -------------------------

@@ -118,3 +118,47 @@ class TestDtypes:
             A, 64, RSVDConfig(QBConfig(block_size=32)), RNGState(9))
         assert U.dtype == jnp.float32
         assert float(util.orthogonality_check(U)) < 1e-4
+
+
+class TestBQRRPZeroFamily:
+    """The reference fixture's zero-input variants (test_bqrrp.cc:
+    near_zero_input_qp3/luqr :265/:287, half_zero_luqr :309,
+    zero_mat :331) for both the explicit and factored drivers."""
+
+    def _run_both(self, A, b=32):
+        from randlapack_tpu.drivers import (BQRRPConfig, bqrrp,
+                                            bqrrp_factored, bqrrp_q)
+        st = RNGState(9)
+        out_e = bqrrp(A, BQRRPConfig(block_size=b), st)
+        fac, _ = bqrrp_factored(A, BQRRPConfig(block_size=b), st)
+        return out_e, fac, bqrrp_q(fac)
+
+    def test_zero_matrix(self):
+        A = jnp.zeros((96, 96), jnp.float64)
+        (Q, R, J, rank, fail, _), fac, Qf = self._run_both(A)
+        # rank estimate collapses; R is zero; outputs stay finite
+        assert float(jnp.linalg.norm(R)) == 0.0
+        assert float(jnp.linalg.norm(fac.R)) == 0.0
+        assert bool(jnp.all(jnp.isfinite(Q)))
+        assert bool(jnp.all(jnp.isfinite(Qf)))
+        # factored Q is a product of exact reflectors: still orthonormal
+        assert float(jnp.linalg.norm(Qf.T @ Qf - jnp.eye(96))) < 1e-12
+
+    def test_near_zero_matrix(self):
+        A = 1e-290 * jnp.ones((96, 96), jnp.float64)
+        (Q, R, J, rank, fail, _), fac, Qf = self._run_both(A)
+        assert bool(jnp.all(jnp.isfinite(Q)))
+        assert bool(jnp.all(jnp.isfinite(Qf)))
+        assert bool(jnp.all(jnp.isfinite(fac.R)))
+
+    def test_half_zero_matrix(self):
+        A, _ = mat_gen(MatGenInfo(128, 128, MatType.gaussian), RNGState(10))
+        A = A.at[:, 64:].set(0.0)
+        (Q, R, J, rank, fail, _), fac, Qf = self._run_both(A)
+        # the 64 nonzero columns must be factored exactly
+        AJ = jnp.take(A, fac.J, axis=1)
+        res = float(jnp.linalg.norm(Qf[:, :64] @ fac.R[:64] - AJ)
+                    / jnp.linalg.norm(A))
+        assert res < 1e-12
+        assert int(fac.rank) <= 70
+        assert float(jnp.linalg.norm(Qf.T @ Qf - jnp.eye(128))) < 1e-11

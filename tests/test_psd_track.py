@@ -241,3 +241,56 @@ class TestLSQR:
         # the ordering is the point)
         assert rel_l < 1e-3, rel_l
         assert rel_l < rel_p / 10, (rel_l, rel_p)
+
+
+class TestREVD2Battery:
+    """The reference's REVD2 adaptive battery (test_revd2.cc:223-414:
+    Underestimation1/2, Overestimation1/2, Exactness) on the TPU API."""
+
+    def _spiked(self, n, true_rank, seed):
+        lam = jnp.concatenate([
+            jnp.linspace(1.0, 0.5, true_rank),
+            1e-12 * jnp.ones(n - true_rank)]).astype(jnp.float64)
+        return psd_from_eigvals(n, lam, RNGState(seed))
+
+    def test_underestimation_doubles_to_rank(self):
+        # k0 far below the true rank: adaptive must double until the
+        # estimate covers the spike
+        A, st = self._spiked(256, 64, 4)
+        V, lam_est, k_used, err, fail, _ = revd2(
+            A, 8, tol=1e-8, cfg=REVD2Config(), state=st, k_max=256)
+        assert k_used >= 64
+        assert err < 1e-6
+
+    def test_underestimation_partial_budget(self):
+        # k_max below the true rank: returns the budget with honest error
+        A, st = self._spiked(256, 128, 5)
+        V, lam_est, k_used, err, fail, _ = revd2(
+            A, 8, tol=1e-10, cfg=REVD2Config(), state=st, k_max=32)
+        assert k_used == 32
+        assert err > 1e-10  # cannot certify the tolerance
+
+    def test_overestimation_stops_early(self):
+        # k0 already above the true rank: one round suffices
+        A, st = self._spiked(256, 16, 6)
+        V, lam_est, k_used, err, fail, _ = revd2(
+            A, 64, tol=1e-6, cfg=REVD2Config(), state=st, k_max=256)
+        assert k_used == 64
+        assert err < 1e-6
+
+    def test_overestimation_rank_revealed(self):
+        # eigenvalues beyond the true rank must be ~0, not noise
+        A, st = self._spiked(200, 12, 7)
+        V, lam_est, k_used, err, fail, _ = revd2(
+            A, 32, tol=1e-6, cfg=REVD2Config(), state=st, k_max=64)
+        tail = np.asarray(lam_est[12:])
+        assert np.all(np.abs(tail) < 1e-8)
+
+    def test_exactness(self):
+        # exactly low-rank PSD: REVD2 reproduces it to machine precision
+        A, st = self._spiked(128, 8, 8)
+        V, lam_est, k_used, err, fail, _ = revd2(
+            A, 8, tol=1e-12, cfg=REVD2Config(), state=st, k_max=16)
+        Ahat = np.asarray(V[:, :8] * lam_est[:8][None, :]) @ np.asarray(
+            V[:, :8]).T
+        assert np.linalg.norm(Ahat - np.asarray(A)) < 1e-10
