@@ -17,9 +17,15 @@ from .composite import CompositeLinOp
 from .symmetric import (ExplicitSymLinOp, RegExplicitSymLinOp,
                         SpectralPrecond)
 from .base import materialize, row_block, col_block, submatrix
+from .sparse_views import (CSRMatrixView, CSRRowBlockView, CSRColBlock,
+                           CSCColBlockView, CSCRowBlock, csr_row_block,
+                           csr_col_block, csc_col_block, csc_row_block)
 
 __all__ = [
     "DenseLinOp", "SparseLinOp", "CompositeLinOp",
     "ExplicitSymLinOp", "RegExplicitSymLinOp", "SpectralPrecond",
     "materialize", "row_block", "col_block", "submatrix",
+    "CSRMatrixView", "CSRRowBlockView", "CSRColBlock", "CSCColBlockView",
+    "CSCRowBlock", "csr_row_block", "csr_col_block", "csc_col_block",
+    "csc_row_block",
 ]

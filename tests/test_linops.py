@@ -247,3 +247,71 @@ class TestViewAlgebra:
         X = _dense(73, (N, S))
         np.testing.assert_allclose(np.asarray(v.matmat(X)),
                                    np.asarray(ref @ X), atol=1e-12)
+
+
+class TestCSRViews:
+    """CSR/CSC view types (rl_sparse_views.hh parity): zero-copy row
+    windows share the parent's buffers; column blocks copy+filter; CSC
+    variants ride the CSR-of-transpose convention."""
+
+    def _csr(self, m=20, n=16, seed=0):
+        import scipy.sparse as sp
+        rng = np.random.default_rng(seed)
+        Ad = sp.random(m, n, density=0.3, random_state=rng).toarray()
+        csr = sp.csr_matrix(Ad)
+        from randlapack_tpu.linops.sparse_views import CSRMatrixView
+        view = CSRMatrixView(jnp.asarray(csr.indptr.astype(np.int32)),
+                             jnp.asarray(csr.indices.astype(np.int32)),
+                             jnp.asarray(csr.data), (m, n))
+        return Ad, view
+
+    def test_row_block_zero_copy_and_values(self):
+        Ad, V = self._csr()
+        rb = V.row_block(5, 13)
+        # zero-copy: the very same arrays, not copies
+        assert rb.indices is V.indices and rb.data is V.data
+        np.testing.assert_allclose(np.asarray(rb.materialize()),
+                                   Ad[5:13], atol=0)
+
+    def test_row_block_of_row_block(self):
+        Ad, V = self._csr(seed=1)
+        rb = V.row_block(4, 16).row_block(2, 9)
+        np.testing.assert_allclose(np.asarray(rb.materialize()),
+                                   Ad[6:13], atol=0)
+
+    def test_col_block(self):
+        Ad, V = self._csr(seed=2)
+        cb = V.col_block(3, 11)
+        np.testing.assert_allclose(np.asarray(cb.materialize()),
+                                   Ad[:, 3:11], atol=0)
+
+    def test_col_block_of_row_block(self):
+        Ad, V = self._csr(seed=3)
+        blk = V.row_block(2, 12).col_block(1, 9)
+        np.testing.assert_allclose(np.asarray(blk.materialize()),
+                                   Ad[2:12, 1:9], atol=0)
+
+    def test_csc_views(self):
+        from randlapack_tpu.linops.sparse_views import (csc_col_block,
+                                                        csc_row_block,
+                                                        CSRMatrixView)
+        import scipy.sparse as sp
+        rng = np.random.default_rng(4)
+        Ad = sp.random(18, 14, density=0.3, random_state=rng).toarray()
+        # CSC of A == CSR of A^T
+        csrT = sp.csr_matrix(Ad.T)
+        At = CSRMatrixView(jnp.asarray(csrT.indptr.astype(np.int32)),
+                           jnp.asarray(csrT.indices.astype(np.int32)),
+                           jnp.asarray(csrT.data), Ad.T.shape)
+        cb = csc_col_block(At, 3, 10)
+        np.testing.assert_allclose(np.asarray(cb.materialize()),
+                                   Ad[:, 3:10], atol=0)
+        rb = csc_row_block(At, 5, 12)
+        np.testing.assert_allclose(np.asarray(rb.materialize()),
+                                   Ad[5:12, :], atol=0)
+
+    def test_matmat(self):
+        Ad, V = self._csr(seed=5)
+        X = np.random.default_rng(6).standard_normal((16, 3))
+        np.testing.assert_allclose(np.asarray(V.matmat(jnp.asarray(X))),
+                                   Ad @ X, atol=1e-12)
