@@ -76,7 +76,7 @@ def main():
     n = 8192
     log(f"[bench] BQRRP {n}x{n} (factored / GEQP3-semantics) ...")
     A, st = fast_decay_matrix(n, n, RNGState(0), dtype=dtype)
-    cfg = BQRRPConfig(block_size=512, pivot_candidates=4)
+    cfg = BQRRPConfig(block_size=512, pivot_candidates=4, stages=2)
     (fac, _), t = timed(lambda a, s: bqrrp_factored(a, cfg, s), A, st)
     qr_flops = 4.0 / 3.0 * n ** 3
     gflops = qr_flops / t / 1e9

@@ -411,20 +411,26 @@ def _wy_reconstruct(Q_panel: jax.Array, c, precision):
 
 @partial(jax.jit, static_argnames=("cfg", "c0", "tidx0", "nblocks", "bsz",
                                    "precision"))
-def _wy_loop(A, Y, Vall, Ts, order, retired, fail, cfg: BQRRPConfig,
-             c0: int, tidx0: int, nblocks: int, bsz: int, precision):
-    """The factored-form block loop: in-place Householder coordinates
-    (live columns carry QᵀA), mask-based retirement, exact trsm sketch
-    downdate (rl_bqrrp.hh:630-650 — exact here because WY coordinates
-    remove the BCGS drift term discussed in the explicit driver).
+def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
+              c0: int, tidx0: int, nblocks: int, bsz: int, precision):
+    """Factored-form stage over a column WINDOW: in-place Householder
+    coordinates (live columns carry QᵀA), mask-based retirement inside
+    the window, exact trsm sketch downdate (rl_bqrrp.hh:630-650 — exact
+    here because WY coordinates remove the BCGS drift term discussed in
+    the explicit driver), then ONE stage-end permutation moving the
+    pivots to the window front (the shrinking-width structure that lets
+    the next stage's trailing GEMMs run narrower).
 
-    ``bsz`` is the block width (cfg.block_size for full blocks, the
-    remainder width for the final partial block); ``c0``/``tidx0`` the
-    starting column / T-slot offsets."""
+    ``A``/``Y``/``J_loc`` are the window slabs (columns [g0:n) of the
+    global problem); ``c0``/``tidx0`` the global row offset / T-slot
+    base; ``bsz`` the block width (the remainder stage passes r < b).
+    Returns the permuted slabs."""
     m, n = A.shape
     b = bsz
     dtype = A.dtype
     rows = jnp.arange(m)
+    order = jnp.zeros((nblocks * b,), jnp.int32)
+    retired = jnp.zeros((n,), dtype)
 
     def block(i, carry):
         A, Y, Vall, Ts, order, retired, fail = carry
@@ -509,12 +515,26 @@ def _wy_loop(A, Y, Vall, Ts, order, retired, fail, cfg: BQRRPConfig,
                 else jnp.eye(bT, dtype=dtype).at[:b, :b].set(T))
         Vall = jax.lax.dynamic_update_slice(Vall, V, (0, c))
         Ts = jax.lax.dynamic_update_slice(Ts, Tpad[None], (tidx0 + i, 0, 0))
-        order = jax.lax.dynamic_update_slice(order, chosen, (c,))
+        order = jax.lax.dynamic_update_slice(order, chosen, (i * b,))
         retired = retired.at[chosen].set(1.0)
         return A, Y, Vall, Ts, order, retired, fail
 
     carry = (A, Y, Vall, Ts, order, retired, fail)
-    return jax.lax.fori_loop(0, nblocks, block, carry)
+    A, Y, Vall, Ts, order, retired, fail = jax.lax.fori_loop(
+        0, nblocks, block, carry)
+
+    # stage-end permutation: pivots to the window front in selection
+    # order; the rest keep relative order for the next (narrower) stage
+    k_sel = nblocks * b
+    cols = jnp.arange(n)
+    pos = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(k_sel, dtype=jnp.int32))
+    key_ = jnp.where(retired > 0, pos, k_sel + cols)
+    perm = jnp.argsort(key_)
+    A = jnp.take(A, perm, axis=1)
+    Y = jnp.take(Y, perm, axis=1)
+    J_loc = jnp.take(J_loc, perm)
+    return A, Y, Vall, Ts, J_loc, fail
 
 
 def bqrrp_factored(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
@@ -547,7 +567,9 @@ def bqrrp_factored(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
     if b != cfg.block_size:
         cfg = dataclasses.replace(cfg, block_size=b)
     K = min(m, n)
-    nb_full, rrem = divmod(K, b)
+    K_full, rrem = divmod(K, b)
+    K_full *= b
+    nb_full = K_full // b
     nblocks = nb_full + (1 if rrem else 0)
     d = int(cfg.d_factor * b)
     dtype = A.dtype
@@ -562,28 +584,43 @@ def bqrrp_factored(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
     Kpad = nblocks * b
     Vall = jnp.zeros((m, Kpad), dtype)
     Ts = jnp.zeros((nblocks, b, b), dtype)
-    order = jnp.zeros((K,), jnp.int32)
-    retired = jnp.zeros((n,), dtype)
     fail = jnp.asarray(False)
+    J = jnp.arange(n, dtype=jnp.int32)
+    A_work = A
 
-    with _phase("loop"):
-        carry = (A, Y, Vall, Ts, order, retired, fail)
-        if nb_full:
-            carry = _wy_loop(*carry, cfg, 0, 0, nb_full, b, precision)
-        if rrem:
-            carry = _wy_loop(*carry, cfg, nb_full * b, nb_full, 1, rrem,
-                             precision)
-        A_h, Y, Vall, Ts, order, retired, fail = carry
-        if timing:
-            device_sync(A_h)
+    # shrinking-width stage plan (same structure as the explicit driver):
+    # S windows over the full blocks + an optional remainder stage
+    S = cfg.stages if (cfg.stages > 1 and nb_full > 0
+                       and nb_full % cfg.stages == 0) else 1
+    chunk = nb_full // S if nb_full else 0
+    plan = [(s * chunk * b, s * chunk, chunk, b)
+            for s in range(S) if chunk]
+    if rrem:
+        plan.append((K_full, nb_full, 1, rrem))
+
+    n_stages = len(plan)
+    for si, (g0, tidx0, nbl, bsz) in enumerate(plan):
+        A_loc = A_work[:, g0:] if si > 0 else A_work
+        Y_loc = Y[:, g0:] if si > 0 else Y
+        J_loc = J[g0:] if si > 0 else J
+        with _phase(f"stage_{si}"):
+            A_loc, Y_loc, Vall, Ts, J_loc, fail = _wy_stage(
+                A_loc, Y_loc, Vall, Ts, J_loc, fail, cfg, g0, tidx0,
+                nbl, bsz, precision)
+            if timing:
+                device_sync(A_loc)
+        if n_stages > 1:
+            if si + 1 < n_stages:
+                A_work = A_work.at[:, g0:].set(A_loc)
+                Y = Y.at[:, g0:].set(Y_loc)
+            else:
+                A_work = A_work.at[:, g0:].set(A_loc)
+            J = J.at[g0:].set(J_loc)
+        else:
+            A_work, J = A_loc, J_loc
 
     with _phase("epilogue"):
-        pos = jnp.zeros((n,), jnp.int32).at[order].set(
-            jnp.arange(K, dtype=jnp.int32))
-        key_ = jnp.where(retired > 0, pos, K + jnp.arange(n))
-        perm = jnp.argsort(key_)
-        A_perm = jnp.take(A_h, perm, axis=1)
-        J = perm.astype(jnp.int32)
+        A_perm = A_work
         R = jnp.triu(A_perm[:K, :])
         if timing:
             device_sync(R)

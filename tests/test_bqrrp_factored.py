@@ -160,7 +160,7 @@ class TestBQRRPFactored:
     def test_timing_dict(self):
         A, st = mat_gen(MatGenInfo(120, 120, MatType.gaussian), RNGState(11))
         out = bqrrp_factored(A, BQRRPConfig(block_size=40), st, timing=True)
-        assert {"sketch", "loop", "epilogue"} <= set(out[2])
+        assert {"sketch", "stage_0", "epilogue"} <= set(out[2])
 
 
 class TestBQRRPShapeFreedom:

@@ -61,7 +61,7 @@ class TestDriverTiming:
         assert any(k.startswith("stage_") for k in phases)
         out_f = bqrrp_factored(A, BQRRPConfig(block_size=64), st,
                                timing=True)
-        assert {"sketch", "loop", "epilogue"} <= set(out_f[2])
+        assert {"sketch", "stage_0", "epilogue"} <= set(out_f[2])
 
     def test_hqrrp_phases(self):
         A, st = _mat(200, 150, seed=5)
