@@ -198,3 +198,67 @@ class TestDeviceSolves:
                                    sp.linalg.spsolve(G.tocsc(),
                                                      np.asarray(B)),
                                    atol=1e-10)
+
+
+class TestSolverComposites:
+    """Composite operators over solver linops (reference:
+    extras/test/linops/test_ext_composite_linop.cc — CholSolver×Dense and
+    Dense×CholSolver compositions materialized against a dense oracle,
+    plus a driver running over the composite)."""
+
+    def _spd(self, n, seed=0):
+        import scipy.sparse as sp
+        rng = np.random.default_rng(seed)
+        M = sp.random(n, n, density=0.05, random_state=rng)
+        return (M @ M.T + sp.eye(n) * n).tocoo(), rng
+
+    def test_cholsolver_times_dense(self):
+        from randlapack_tpu.linops import CompositeLinOp, DenseLinOp
+        n, k = 120, 30
+        K, rng = self._spd(n)
+        inv_op = CholSolverLinOp(K.row, K.col, K.data, n, jnp.float64)
+        D = jnp.asarray(rng.standard_normal((n, k)))
+        comp = CompositeLinOp(inv_op, DenseLinOp(D))
+        import scipy.sparse as sp
+        ref = sp.linalg.spsolve(K.tocsc(), np.asarray(D))
+        X = jnp.asarray(rng.standard_normal((k, 4)))
+        np.testing.assert_allclose(np.asarray(comp.matmat(X)),
+                                   ref @ np.asarray(X), atol=1e-9)
+        # transpose apply: (K^-1 D)^T = D^T K^-1 (K SPD)
+        Y = jnp.asarray(rng.standard_normal((n, 3)))
+        np.testing.assert_allclose(np.asarray(comp.tmatmat(Y)),
+                                   ref.T @ np.asarray(Y), atol=1e-9)
+
+    def test_dense_times_cholsolver(self):
+        from randlapack_tpu.linops import CompositeLinOp, DenseLinOp
+        n, r = 100, 40
+        K, rng = self._spd(n, seed=1)
+        inv_op = CholSolverLinOp(K.row, K.col, K.data, n, jnp.float64)
+        D = jnp.asarray(rng.standard_normal((r, n)))
+        comp = CompositeLinOp(DenseLinOp(D), inv_op)
+        import scipy.sparse as sp
+        ref = np.asarray(D) @ sp.linalg.spsolve(K.tocsc(), np.eye(n))
+        X = jnp.asarray(rng.standard_normal((n, 5)))
+        np.testing.assert_allclose(np.asarray(comp.matmat(X)),
+                                   ref @ np.asarray(X), atol=1e-8)
+
+    def test_abrik_over_inverse_composite(self):
+        """Driver over the composite: top singular values of K^-1·D (the
+        GSVD-style workflow the reference extras target)."""
+        from randlapack_tpu.linops import CompositeLinOp, DenseLinOp
+        from randlapack_tpu.drivers import ABRIKConfig, abrik
+        from randlapack_tpu import RNGState
+        n, k = 150, 60
+        K, rng = self._spd(n, seed=2)
+        inv_op = CholSolverLinOp(K.row, K.col, K.data, n, jnp.float64)
+        D = jnp.asarray(rng.standard_normal((n, k)))
+        comp = CompositeLinOp(inv_op, DenseLinOp(D))
+        U, S, Vt, info, _ = abrik(comp, 6, ABRIKConfig(block_size=6,
+                                                       max_iters=8),
+                                  RNGState(3))
+        import scipy.sparse as sp
+        ref = sp.linalg.spsolve(K.tocsc(), np.asarray(D))
+        s_ref = np.linalg.svd(ref, compute_uv=False)[:6]
+        # gaussian D gives a flat spectrum: Krylov convergence is slow,
+        # so compare at iteration-accuracy, not machine accuracy
+        np.testing.assert_allclose(np.asarray(S), s_ref, rtol=1e-3)
