@@ -24,11 +24,17 @@ from randlapack_tpu.drivers import (ABRIKConfig, BQRRPConfig,  # noqa: E402
                                     cqrrt, hqrrp)
 
 
+AGGREGATES = {"total", "main_loop"}
+
+
 def show(name, phases):
-    total = sum(phases.values())
+    leaf = {k: v for k, v in phases.items() if k not in AGGREGATES}
+    total = sum(leaf.values())
     print(f"\n== {name} (synced phase totals: {total:.3f}s) ==")
-    for k, v in sorted(phases.items(), key=lambda kv: -kv[1]):
+    for k, v in sorted(leaf.items(), key=lambda kv: -kv[1]):
         print(f"  {k:<16}{v:>9.4f}s {100*v/max(total,1e-12):>6.1f}%")
+    for k in sorted(AGGREGATES & set(phases)):
+        print(f"  ({k}: {phases[k]:.4f}s)")
 
 
 def main():
