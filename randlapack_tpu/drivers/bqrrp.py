@@ -436,6 +436,12 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
         A, Y, Vall, Ts, order, retired, fail = carry
         c = c0 + i * b
         live = 1.0 - retired
+        if cfg.shard_axis is not None:
+            from jax.sharding import PartitionSpec as _P
+            A = jax.lax.with_sharding_constraint(
+                A, _P(cfg.shard_axis, None))
+            Vall = jax.lax.with_sharding_constraint(
+                Vall, _P(cfg.shard_axis, None))
 
         # -- qrcp_wide: LU pivots on the masked live sketch -------------
         Y_m = Y * live[None, :]

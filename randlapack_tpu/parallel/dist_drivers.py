@@ -121,3 +121,21 @@ def dist_rsvd(A: jax.Array, k: int, mesh: Mesh, state: RNGState,
     Ub, S, Vt = svd_econ(B, precision=precision)
     U = jnp.matmul(Q, Ub, precision=precision)
     return U, S, Vt, fail, state
+
+
+def dist_bqrrp_factored(A: jax.Array, mesh: Mesh, state: RNGState,
+                        block_size: int = 256, stages: int = 1,
+                        axis: str = "rows", precision=STABLE_PRECISION):
+    """Distributed factored (implicit-Q) BQRRP: the WY engine with the
+    tall dimension row-sharded — panel Grams, trailing WY updates and the
+    reflector basis V all stay row-sharded; pivot work on the replicated
+    sketch is redundant per device. Returns ``(BQRRPFactors, next_state)``
+    with V sharded like A; materialize with
+    :func:`randlapack_tpu.drivers.bqrrp_q` under the same mesh."""
+    from ..drivers.bqrrp import BQRRPConfig, bqrrp_factored
+    cfg = BQRRPConfig(block_size=block_size, stages=stages,
+                      shard_axis=axis)
+    A = jax.lax.with_sharding_constraint(
+        A, NamedSharding(mesh, P(axis, None)))
+    with jax.sharding.set_mesh(mesh):
+        return bqrrp_factored(A, cfg, state, precision)

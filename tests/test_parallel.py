@@ -136,3 +136,24 @@ class TestDistDrivers:
         from randlapack_tpu.drivers import BQRRPConfig, bqrrp
         Q2, R2, J2, *_ = bqrrp(A, BQRRPConfig(block_size=64), RNGState(25))
         np.testing.assert_array_equal(np.asarray(J), np.asarray(J2))
+
+
+class TestDistBQRRPFactored:
+    def test_matches_single_device(self):
+        from randlapack_tpu.parallel import dist_bqrrp_factored, make_mesh
+        from randlapack_tpu.drivers import bqrrp_q
+        mesh = make_mesh(8)
+        m, n = 128, 96
+        A, st = mat_gen(MatGenInfo(m, n, MatType.polynomial, cond_num=1e5),
+                        RNGState(31))
+        fac, _ = dist_bqrrp_factored(A, mesh, RNGState(32), block_size=32)
+        with jax.sharding.set_mesh(mesh):
+            Q = bqrrp_q(fac)
+        AJ = jnp.take(A, fac.J, axis=1)
+        res = float(jnp.linalg.norm(Q @ fac.R - AJ) / jnp.linalg.norm(A))
+        orth = float(jnp.linalg.norm(Q.T @ Q - jnp.eye(96)))
+        assert res < 1e-12 and orth < 1e-11
+        # bit-match the single-device run (same RNG, same algorithm)
+        from randlapack_tpu.drivers import BQRRPConfig, bqrrp_factored
+        fac1, _ = bqrrp_factored(A, BQRRPConfig(block_size=32), RNGState(32))
+        np.testing.assert_array_equal(np.asarray(fac.J), np.asarray(fac1.J))
