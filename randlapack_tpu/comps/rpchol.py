@@ -26,6 +26,14 @@ from ..sketching.sampling import weights_to_cdf
 @dataclasses.dataclass(frozen=True)
 class RPCholConfig:
     block_size: int = 64
+    sampling: str = "gumbel"      # "gumbel": exact without-replacement
+                                  # block sampling (Gumbel top-k over the
+                                  # residual diagonal — distinct pivots by
+                                  # construction, no zero factor columns);
+                                  # "iid": the reference's
+                                  # sample-with-replacement + dedup
+                                  # (collisions become zero columns under
+                                  # static shapes)
 
 
 @partial(jax.jit, static_argnames=("k", "cfg", "precision"))
@@ -56,10 +64,18 @@ def rp_cholesky(A, k: int, cfg: RPCholConfig, state: RNGState,
         bstate = base.branch(i)
         key, _ = bstate.spawn()
         # 1. sample b pivots from the residual-diagonal distribution
-        cdf = weights_to_cdf(d)
-        u = jax.random.uniform(key, (b,), dtype=dtype)
-        idx = jnp.clip(jnp.searchsorted(cdf, u, side="left"), 0, n - 1
-                       ).astype(jnp.int32)
+        if cfg.sampling == "gumbel":
+            # exact without-replacement: argtop-b of log d + Gumbel noise
+            g = jax.random.gumbel(key, (n,), dtype=dtype)
+            logd = jnp.where(d > 0, jnp.log(jnp.where(d > 0, d, 1.0)),
+                             -jnp.inf)
+            _, idx = jax.lax.top_k(logd + g, b)
+            idx = idx.astype(jnp.int32)
+        else:
+            cdf = weights_to_cdf(d)
+            u = jax.random.uniform(key, (b,), dtype=dtype)
+            idx = jnp.clip(jnp.searchsorted(cdf, u, side="left"), 0, n - 1
+                           ).astype(jnp.int32)
         # 2. winner mask: one representative per distinct pivot
         winner = jnp.zeros((n,), jnp.int32).at[idx].set(
             jnp.arange(b, dtype=jnp.int32))

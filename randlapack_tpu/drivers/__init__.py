@@ -5,7 +5,8 @@ from .cqrrpt import CQRRPTConfig, QRCPKind, cqrrpt
 from .bqrrp import (BQRRPConfig, BQRRPFactors, QRTall, bqrrp,
                     bqrrp_apply_qt, bqrrp_factored, bqrrp_q)
 from .revd2 import REVD2Config, revd2, revd2_fixed_rank
-from .krill import KrillConfig, krill_full_rpchol
+from .krill import (KrillConfig, krill_full_rpchol,
+                    krill_restricted_rpchol)
 from .spls import SPLSConfig, spls
 from .abrik import ABRIKConfig, abrik, abrik_factor
 from .hqrrp import HQRRPConfig, PanelQR, hqrrp, hqrrp_lapack_format
@@ -20,7 +21,7 @@ __all__ = ["RSVDConfig", "rsvd", "rsvd_fixed_rank",
            "BQRRPConfig", "BQRRPFactors", "QRTall", "bqrrp",
            "bqrrp_apply_qt", "bqrrp_factored", "bqrrp_q",
            "REVD2Config", "revd2", "revd2_fixed_rank",
-           "KrillConfig", "krill_full_rpchol",
+           "KrillConfig", "krill_full_rpchol", "krill_restricted_rpchol",
            "SPLSConfig", "spls",
            "ABRIKConfig", "abrik", "abrik_factor",
            "HQRRPConfig", "PanelQR", "hqrrp", "hqrrp_lapack_format",

@@ -294,3 +294,53 @@ class TestREVD2Battery:
         Ahat = np.asarray(V[:, :8] * lam_est[:8][None, :]) @ np.asarray(
             V[:, :8]).T
         assert np.linalg.norm(Ahat - np.asarray(A)) < 1e-10
+
+
+class TestKrillRestricted:
+    """krill_restricted_rpchol — the reference's documented-but-disabled
+    restricted-domain KRR (rl_krill.hh:75-141), implemented here."""
+
+    def test_solves_restricted_problem(self):
+        from randlapack_tpu.drivers import KrillConfig, krill_restricted_rpchol
+        from randlapack_tpu.linops import RegExplicitSymLinOp
+        n, k, s = 200, 40, 3
+        lam = jnp.concatenate([jnp.linspace(1.0, 0.1, k),
+                               1e-4 * jnp.ones(n - k)]).astype(jnp.float64)
+        K, st = psd_from_eigvals(n, lam, RNGState(40))
+        mus = jnp.asarray([1e-3, 1e-2, 1e-1])
+        G = RegExplicitSymLinOp(K, mus)
+        H = jax.random.normal(jax.random.key(41), (n, s), jnp.float64)
+        X, inds, y, _ = krill_restricted_rpchol(
+            G, H, mus, KrillConfig(k=k, rpchol_block=20), st)
+        # support restricted to the pivot rows
+        mask = np.ones(n, bool)
+        mask[np.asarray(inds)] = False
+        assert float(jnp.linalg.norm(X[jnp.asarray(mask)])) == 0.0
+        # optimality: y solves (V^T V + mu I) y = V^T H for the rank-k
+        # Nystrom factor; check the normal-equation residual per column
+        from randlapack_tpu.comps.rpchol import RPCholConfig, rp_cholesky
+        F, inds2, _ = rp_cholesky(G.with_reg(False), k,
+                                  RPCholConfig(block_size=20), st)
+        np.testing.assert_array_equal(np.asarray(inds), np.asarray(inds2))
+        Gv = np.asarray(F.T @ F)
+        for j in range(s):
+            r = (Gv + float(mus[j]) * np.eye(k)) @ np.asarray(y[:, j]) \
+                - np.asarray(F.T @ H[:, j])
+            assert np.linalg.norm(r) < 1e-8
+        # consistency: x restricted-basis identity X[inds] = M^-T y
+        M = np.asarray(F)[np.asarray(inds), :]
+        np.testing.assert_allclose(np.asarray(X[jnp.asarray(inds)]),
+                                   np.linalg.solve(M.T, np.asarray(y)),
+                                   atol=1e-10)
+
+    def test_single_rhs_vector(self):
+        from randlapack_tpu.drivers import KrillConfig, krill_restricted_rpchol
+        from randlapack_tpu.linops import RegExplicitSymLinOp
+        n = 120
+        lam = gen_exp_singvals(n, 1e4, jnp.float64)
+        K, st = psd_from_eigvals(n, lam, RNGState(42))
+        G = RegExplicitSymLinOp(K, jnp.asarray([1e-2]))
+        h = jax.random.normal(jax.random.key(43), (n,), jnp.float64)
+        x, inds, y, _ = krill_restricted_rpchol(
+            G, h, 1e-2, KrillConfig(k=24, rpchol_block=12), st)
+        assert x.shape == (n,) and y.shape == (24,)
