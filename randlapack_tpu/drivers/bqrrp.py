@@ -457,17 +457,27 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
             chosen = perm_lu[:b]
         chosen = _fix_pivots(chosen, retired)
 
-        # -- panel QR at row offset c (sketch-preconditioned CholQR) ----
+        # -- panel QR at row offset c -----------------------------------
         panel = jnp.take(A, chosen, axis=1)
         panel_m = jnp.where(rows[:, None] >= c, panel, 0.0)
         Ysk_p = jnp.take(Y, chosen, axis=1)
-        G_sk = jnp.matmul(Ysk_p.T, Ysk_p, precision=precision)
-        L_sk = jax.lax.linalg.cholesky(G_sk)
-        badsk = jnp.any(jnp.isnan(L_sk))
-        R_sk = _safe_triu_diag(
-            jnp.where(badsk, jnp.eye(b, dtype=dtype), L_sk.T), dtype)
-        Q_panel, R11, failp = preconditioned_cholqr(panel_m, R_sk,
-                                                    precision)
+        if cfg.qr_tall == QRTall.hqr:
+            # Householder-R panel (the reference's geqrf qr_tall option):
+            # R from a backward-stable QR, explicit Q via one solve — the
+            # solve preserves the zeros above row c that the WY form needs
+            R11 = _safe_triu_diag(
+                jnp.linalg.qr(panel_m, mode="r")[:b, :], dtype)
+            Q_panel = jax.lax.linalg.triangular_solve(
+                R11, panel_m, left_side=False, lower=False)
+            failp = jnp.any(~jnp.isfinite(Q_panel))
+        else:
+            G_sk = jnp.matmul(Ysk_p.T, Ysk_p, precision=precision)
+            L_sk = jax.lax.linalg.cholesky(G_sk)
+            badsk = jnp.any(jnp.isnan(L_sk))
+            R_sk = _safe_triu_diag(
+                jnp.where(badsk, jnp.eye(b, dtype=dtype), L_sk.T), dtype)
+            Q_panel, R11, failp = preconditioned_cholqr(panel_m, R_sk,
+                                                        precision)
         if cfg.panel_reorth:
             Q_panel, R2, f2 = cholqr(Q_panel, precision)
             R11 = jnp.matmul(R2, R11, precision=precision)

@@ -194,3 +194,21 @@ class TestBQRRPShapeFreedom:
         orthf = float(jnp.linalg.norm(
             jnp.matmul(Qf.T, Qf, precision=hp) - jnp.eye(K)))
         assert resf < ATOL * 10 and orthf < ATOL * np.sqrt(K) * 10
+
+
+class TestFactoredQRTallVariants:
+    def test_hqr_panel_variant(self):
+        """qr_tall=hqr (the reference's geqrf panel option) in the
+        factored form: Householder R + one solve keeps zeros above c."""
+        from randlapack_tpu.drivers.bqrrp import QRTall
+        A, st = mat_gen(MatGenInfo(320, 320, MatType.polynomial,
+                                   cond_num=1e8), RNGState(13))
+        fac, _ = bqrrp_factored(
+            A, BQRRPConfig(block_size=80, qr_tall=QRTall.hqr), st)
+        Q = bqrrp_q(fac)
+        res = float(jnp.linalg.norm(
+            jnp.matmul(Q, fac.R, precision=hp)
+            - jnp.take(A, fac.J, axis=1)) / jnp.linalg.norm(A))
+        orth = float(jnp.linalg.norm(
+            jnp.matmul(Q.T, Q, precision=hp) - jnp.eye(320)))
+        assert res < ATOL * 10 and orth < ATOL * np.sqrt(320) * 10
