@@ -107,24 +107,62 @@ class CholQRLinopsConfig:
     passes: int = 1                # CholQR passes on the Gram matrix
 
 
-@partial(jax.jit, static_argnames=("cfg", "precision"))
 def cholqr_linops(A, cfg: CholQRLinopsConfig = CholQRLinopsConfig(),
-                  precision=STABLE_PRECISION):
+                  precision=STABLE_PRECISION, timing: bool = False):
+    """Q-less CholQR of a LinearOperator — see ``_cholqr_linops_impl``
+    for the algorithm; ``timing=True`` runs phase-synced (the 6-slot
+    vector of rl_cholqr_linops.hh) and appends the phase dict."""
+    if not timing:
+        return _cholqr_linops_jit(A, cfg, precision)
+    return _cholqr_linops_impl(A, cfg, precision, True)
+
+
+@partial(jax.jit, static_argnames=("cfg", "precision"))
+def _cholqr_linops_jit(A, cfg, precision):
+    return _cholqr_linops_impl(A, cfg, precision, False)
+
+
+def _cholqr_linops_impl(A, cfg, precision, timing):
     """Q-less CholQR of a LinearOperator. Returns ``(R, fail)`` with
     AᵀA = RᵀR; Q = A·R⁻¹ is implicit (use ``apply_qt``/materialize in
-    test mode, mirroring rl_cholqr_linops.hh:259-286)."""
-    G = blocked_gram(A, cfg.gram_block, precision)
-    L = jax.lax.linalg.cholesky(G)
+    test mode, mirroring rl_cholqr_linops.hh:259-286).
+
+    ``timing=True`` appends the per-pass phase dict (the reference's
+    6-slot timing vector, rl_cholqr_linops.hh) — gram_i / potrf_i per
+    pass, with device syncs between phases."""
+    from ..utils.timing import PhaseTimer, device_sync
+    timer = PhaseTimer() if timing else None
+
+    def _phase(name):
+        import contextlib
+        return timer.phase(name) if timing else contextlib.nullcontext()
+
+    with _phase("gram_0"):
+        G = blocked_gram(A, cfg.gram_block, precision)
+        if timing:
+            device_sync(G)
+    with _phase("potrf_0"):
+        L = jax.lax.linalg.cholesky(G)
+        if timing:
+            device_sync(L)
     fail = jnp.any(jnp.isnan(L))
     chain = (L.T,)
     R = L.T
-    for _ in range(cfg.passes - 1):
+    for p_ in range(cfg.passes - 1):
         # extra pass: fresh Gram of the chain-preconditioned operator
-        G2 = blocked_gram_precond(A, chain, cfg.gram_block, precision)
-        L2 = jax.lax.linalg.cholesky(0.5 * (G2 + G2.T))
+        with _phase(f"gram_{p_ + 1}"):
+            G2 = blocked_gram_precond(A, chain, cfg.gram_block, precision)
+            if timing:
+                device_sync(G2)
+        with _phase(f"potrf_{p_ + 1}"):
+            L2 = jax.lax.linalg.cholesky(0.5 * (G2 + G2.T))
+            if timing:
+                device_sync(L2)
         fail = fail | jnp.any(jnp.isnan(L2))
         chain = chain + (L2.T,)
         R = jnp.matmul(L2.T, R, precision=precision)
+    if timing:
+        return R, fail, chain, timer.report()
     return R, fail, chain
 
 
@@ -172,31 +210,70 @@ class CQRRTLinopsConfig:
     gram_block: int | None = None
 
 
-@partial(jax.jit, static_argnames=("cfg", "precision"))
 def cqrrt_linops(A, cfg: CQRRTLinopsConfig, state: RNGState,
-                 precision=STABLE_PRECISION):
+                 precision=STABLE_PRECISION, timing: bool = False):
+    """Q-less CQRRT over an operator — see ``_cqrrt_linops_impl``;
+    ``timing=True`` appends the phase dict (11-slot vector analogue,
+    rl_cqrrt_linops.hh:45-49)."""
+    if not timing:
+        return _cqrrt_linops_jit(A, cfg, state, precision)
+    return _cqrrt_linops_impl(A, cfg, state, precision, True)
+
+
+@partial(jax.jit, static_argnames=("cfg", "precision"))
+def _cqrrt_linops_jit(A, cfg, state, precision):
+    return _cqrrt_linops_impl(A, cfg, state, precision, False)
+
+
+def _cqrrt_linops_impl(A, cfg, state, precision, timing):
     """Q-less CQRRT over an operator (rl_cqrrt_linops.hh): dense-sketch the
     operator through tmatmat, QR the sketch → R_sk, then a single Gram pass
-    preconditioned in Gram space. Returns ``(R, fail, next_state)``."""
+    preconditioned in Gram space. Returns ``(R, fail, next_state)``
+    (+ the phase dict mirroring the reference's 11-slot timing vector,
+    rl_cqrrt_linops.hh:45-49, when ``timing=True``)."""
     import math
+    from ..utils.timing import PhaseTimer, device_sync
+    timer = PhaseTimer() if timing else None
+
+    def _phase(name):
+        import contextlib
+        return timer.phase(name) if timing else contextlib.nullcontext()
+
     m, n = A.n_rows, A.n_cols
     d = int(cfg.d_factor * n)
     key, state = state.spawn()
-    S_t = jax.random.normal(key, (m, d), dtype=A.dtype) / math.sqrt(d)
-    A_sk = A.tmatmat(S_t, precision).T          # (d, n) = S·A
-    _, R_sk = jax.lax.linalg.qr(A_sk, full_matrices=False)
-    eps = jnp.finfo(A_sk.dtype).eps
-    dg = jnp.diag(R_sk)
-    ref = jnp.max(jnp.abs(dg)) * eps + eps
-    R_sk = R_sk - jnp.diag(dg) + jnp.diag(jnp.where(jnp.abs(dg) > ref, dg,
-                                                    ref))
+    with _phase("sketch"):
+        S_t = jax.random.normal(key, (m, d), dtype=A.dtype) / math.sqrt(d)
+        A_sk = A.tmatmat(S_t, precision).T          # (d, n) = S·A
+        if timing:
+            device_sync(A_sk)
+    with _phase("qr"):
+        _, R_sk = jax.lax.linalg.qr(A_sk, full_matrices=False)
+        eps = jnp.finfo(A_sk.dtype).eps
+        dg = jnp.diag(R_sk)
+        ref = jnp.max(jnp.abs(dg)) * eps + eps
+        R_sk = R_sk - jnp.diag(dg) + jnp.diag(
+            jnp.where(jnp.abs(dg) > ref, dg, ref))
+        if timing:
+            device_sync(R_sk)
     # Gram of the preconditioned operator with FRESH applies (a Gram-space
     # solve R⁻ᵀGR⁻¹ would cap accuracy at eps·κ(A))
-    Gp = blocked_gram_precond(A, (R_sk,), cfg.gram_block, precision)
-    L = jax.lax.linalg.cholesky(0.5 * (Gp + Gp.T))
+    with _phase("gram"):
+        Gp = blocked_gram_precond(A, (R_sk,), cfg.gram_block, precision)
+        if timing:
+            device_sync(Gp)
+    with _phase("potrf"):
+        L = jax.lax.linalg.cholesky(0.5 * (Gp + Gp.T))
+        if timing:
+            device_sync(L)
     fail = jnp.any(jnp.isnan(L))
     chain = (R_sk, L.T)
-    R = jnp.matmul(L.T, R_sk, precision=precision)
+    with _phase("recombine"):
+        R = jnp.matmul(L.T, R_sk, precision=precision)
+        if timing:
+            device_sync(R)
+    if timing:
+        return R, fail, chain, state, timer.report()
     return R, fail, chain, state
 
 

@@ -67,3 +67,27 @@ class TestDriverTiming:
         A, st = _mat(200, 150, seed=5)
         out = hqrrp(A, HQRRPConfig(block_size=50), st, timing=True)
         assert {"sketch", "blocks", "epilogue"} <= set(out[6])
+
+
+class TestLinopDriverTiming:
+    def test_cholqr_linops_phases(self):
+        from randlapack_tpu.drivers import CholQRLinopsConfig, cholqr_linops
+        from randlapack_tpu.linops import DenseLinOp
+        A, _ = _mat(400, 60, seed=6)
+        out = cholqr_linops(DenseLinOp(A), CholQRLinopsConfig(passes=2),
+                            timing=True)
+        R, fail, chain, phases = out
+        assert {"gram_0", "potrf_0", "gram_1", "potrf_1"} <= set(phases)
+        # timed path must match the fused path
+        R2, f2, _ = cholqr_linops(DenseLinOp(A), CholQRLinopsConfig(passes=2))
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R2), atol=1e-12)
+
+    def test_cqrrt_linops_phases(self):
+        from randlapack_tpu.drivers import CQRRTLinopsConfig, cqrrt_linops
+        from randlapack_tpu.linops import DenseLinOp
+        from randlapack_tpu import RNGState
+        A, _ = _mat(400, 60, seed=7)
+        out = cqrrt_linops(DenseLinOp(A), CQRRTLinopsConfig(), RNGState(8),
+                           timing=True)
+        R, fail, chain, _, phases = out
+        assert {"sketch", "qr", "gram", "potrf", "recombine"} <= set(phases)
