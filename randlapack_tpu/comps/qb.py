@@ -46,7 +46,12 @@ def qb_blocked(A: jax.Array, k: int, cfg: QBConfig, state: RNGState,
 
     Q = jnp.zeros((m, k), A.dtype)
     B = jnp.zeros((k, n), A.dtype)
-    errs = jnp.zeros((nblocks,), A.dtype)
+    # errs starts at a 2.0 sentinel (> any relative error) so block 0 can
+    # read errs[-1 -> 0] as its "previous error" WITHOUT comparing the
+    # loop induction variable: scalar predicates on the fori_loop index
+    # (i > 0) are hoisted as loop-invariant and MISCOMPILE on this TPU
+    # backend (evaluate True at i=0); array-vs-index comparisons are fine.
+    errs = jnp.full((nblocks,), 2.0, A.dtype)
 
     # fori_loop-safe RNG: per-block independent streams branched off `state`
     base = state
@@ -69,7 +74,8 @@ def qb_blocked(A: jax.Array, k: int, cfg: QBConfig, state: RNGState,
         Bi = jnp.matmul(Qi.T, A_work, precision=precision)
         A_next = A_work - jnp.matmul(Qi, Bi, precision=precision)
         new_err = jnp.linalg.norm(A_next) / norm_A
-        prev_err = jnp.where(i > 0, errs[jnp.maximum(i - 1, 0)], jnp.inf)
+        # at i=0 this reads the 2.0 sentinel (see errs init above)
+        prev_err = errs[jnp.maximum(i - 1, 0)]
         # in-loop early-stop conditions (rl_qb.hh:228, codes 3-4): error
         # growth or orthogonality loss of the new block — the reference
         # discards the offending block and returns the previous iterate;
@@ -85,9 +91,8 @@ def qb_blocked(A: jax.Array, k: int, cfg: QBConfig, state: RNGState,
         A_work = A_work * (1.0 - keep) + A_next * keep
         Q = jax.lax.dynamic_update_slice(Q, Qi * keep, (0, i * b))
         B = jax.lax.dynamic_update_slice(B, Bi * keep, (i * b, 0))
-        errs = errs.at[i].set(jnp.where(stop_now,
-                                        jnp.minimum(prev_err, 1.0),
-                                        new_err))
+        frozen_val = jnp.minimum(prev_err, 1.0)
+        errs = errs.at[i].set(jnp.where(stop_now, frozen_val, new_err))
         return A_work, Q, B, errs, stop_now
 
     _, Q, B, errs, stopped = jax.lax.fori_loop(

@@ -67,8 +67,11 @@ def rp_cholesky(A, k: int, cfg: RPCholConfig, state: RNGState,
         if cfg.sampling == "gumbel":
             # exact without-replacement: argtop-b of log d + Gumbel noise
             g = jax.random.gumbel(key, (n,), dtype=dtype)
+            # finite floor, NOT -inf (inf constants inside fori_loop
+            # miscompile to 0 on this TPU backend): -1e30 + Gumbel noise
+            # still loses to every live weight
             logd = jnp.where(d > 0, jnp.log(jnp.where(d > 0, d, 1.0)),
-                             -jnp.inf)
+                             -1e30)
             _, idx = jax.lax.top_k(logd + g, b)
             idx = idx.astype(jnp.int32)
         else:

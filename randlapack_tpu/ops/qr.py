@@ -73,7 +73,9 @@ def geqp3(A: jax.Array, k: int | None = None, want_q: bool = True,
         cols = jnp.arange(n)
         if pivot:
             # 1. pivot selection on downdated squared norms
-            masked = jnp.where(cols >= i, cn2, -jnp.inf)
+            # finite penalty, NOT -inf: inf constants inside fori_loop
+            # miscompile to 0 on this TPU backend (cn2 >= 0 always)
+            masked = jnp.where(cols >= i, cn2, -1.0)
             p = jnp.argmax(masked)
             # 2. swap columns i <-> p (gather-free swap via where)
             perm = jnp.where(cols == i, p, jnp.where(cols == p, i, cols))
