@@ -97,3 +97,39 @@ def rank_search_binary(singvals: jax.Array, tol) -> jax.Array:
     """Index of the smallest singular value above tol (rl_util.hh:223
     semantics, but vectorized — no binary search needed on TPU)."""
     return jnp.sum(singvals > tol).astype(jnp.int32)
+
+
+# -- RandBLAS small-util parity (SURVEY §2.9: symmetrize, safe_scal,
+#    omatcopy, dims_before_op) ------------------------------------------
+
+def symmetrize(A: jax.Array, uplo: str = "upper") -> jax.Array:
+    """Copy one triangle onto the other (RandBLAS ``symmetrize``):
+    ``uplo`` names the triangle holding the data."""
+    if uplo == "upper":
+        U = jnp.triu(A)
+        return U + jnp.triu(A, 1).T
+    L = jnp.tril(A)
+    return L + jnp.tril(A, -1).T
+
+
+def safe_scal(alpha, x: jax.Array) -> jax.Array:
+    """Overflow-guarded scaling (RandBLAS ``safe_scal``): splits α into
+    √α·√α when |α| would overflow intermediate squares downstream."""
+    dtype = x.dtype
+    alpha = jnp.asarray(alpha, dtype)
+    big = jnp.sqrt(jnp.asarray(jnp.finfo(dtype).max, dtype))
+    r = jnp.sqrt(jnp.abs(alpha))
+    s = jnp.sign(alpha)
+    return jnp.where(jnp.abs(alpha) > big, (s * r) * (r * x), alpha * x)
+
+
+def omatcopy(A: jax.Array, trans: bool = False, alpha=1.0) -> jax.Array:
+    """Out-of-place scaled copy/transpose (RandBLAS ``omatcopy``)."""
+    out = A.T if trans else A
+    return jnp.asarray(alpha, A.dtype) * out
+
+
+def dims_before_op(n_rows: int, n_cols: int, trans: bool):
+    """Dimensions of X such that op(X) is n_rows × n_cols (RandBLAS
+    ``dims_before_op``)."""
+    return (n_cols, n_rows) if trans else (n_rows, n_cols)

@@ -156,3 +156,36 @@ class TestUtilCoverage:
         import pytest as _pt
         with _pt.raises(RandLAPACKError, match="boom"):
             require(False, "boom")
+
+
+class TestRandBLASSmallUtils:
+    """SURVEY §2.9 small-symbol parity: symmetrize / safe_scal /
+    omatcopy / dims_before_op."""
+
+    def test_symmetrize(self):
+        A = jnp.asarray(np.arange(9.0).reshape(3, 3))
+        Su = util.symmetrize(A, "upper")
+        Sl = util.symmetrize(A, "lower")
+        assert np.allclose(np.asarray(Su), np.asarray(Su).T)
+        assert np.allclose(np.asarray(Sl), np.asarray(Sl).T)
+        assert np.allclose(np.triu(np.asarray(Su)), np.triu(np.asarray(A)))
+        assert np.allclose(np.tril(np.asarray(Sl)), np.tril(np.asarray(A)))
+
+    def test_safe_scal_split_path(self):
+        # alpha above the sqrt(max) threshold takes the split-scaling
+        # path; the representable product must come out exact
+        x = jnp.asarray(np.ones(4, np.float32) * 1e5)
+        y = util.safe_scal(np.float32(1e30), x)
+        np.testing.assert_allclose(np.asarray(y), 1e35, rtol=1e-6)
+        z = util.safe_scal(2.0, jnp.asarray([1.0, -2.0]))
+        np.testing.assert_allclose(np.asarray(z), [2.0, -4.0])
+        zn = util.safe_scal(-1e30, jnp.asarray(np.ones(2, np.float32)))
+        np.testing.assert_allclose(np.asarray(zn), -1e30, rtol=1e-6)
+
+    def test_omatcopy_dims_before_op(self):
+        A = jnp.asarray(np.arange(6.0).reshape(2, 3))
+        np.testing.assert_allclose(np.asarray(util.omatcopy(A, trans=True,
+                                                            alpha=2.0)),
+                                   2.0 * np.arange(6.0).reshape(2, 3).T)
+        assert util.dims_before_op(4, 7, True) == (7, 4)
+        assert util.dims_before_op(4, 7, False) == (4, 7)
