@@ -104,14 +104,37 @@ def _hqrrp_blocks(A, Y, G, order, taus_g, retired, fail, c0: int,
     d = Y.shape[0]
 
     def block(ib, carry):
-        A, Y, G, order, taus_g, retired, fail = carry
-        c = c0 + ib * bsz
-        live = 1.0 - retired
+        return _hqrrp_block_step(carry, c0 + ib * bsz, bsz, cfg, precision)
 
-        # 1. QRCP of the downdated sketch -> b pivots (lockstep-equivalent)
+    carry = (A, Y, G, order, taus_g, retired, fail)
+    return jax.lax.fori_loop(0, nblocks, block, carry)
+
+
+def _hqrrp_block_step(carry, c, bsz, cfg: HQRRPConfig, precision,
+                      timer=None):
+    """One HQRRP block (shared by the fused fori_loop and the timed
+    block-split path — ``timer`` accumulates the reference's nested
+    per-phase slots, rl_hqrrp.hh:1150-1160, when given)."""
+    import contextlib
+    from ..utils.timing import device_sync
+
+    def _phase(name):
+        return timer.phase(name) if timer is not None else (
+            contextlib.nullcontext())
+
+    A, Y, G, order, taus_g, retired, fail = carry
+    m, n = A.shape
+    d = Y.shape[0]
+    live = 1.0 - retired
+
+    # 1. QRCP of the downdated sketch -> b pivots (lockstep-equivalent)
+    with _phase("qrcp"):
         chosen = qrcp_select_pivots(Y, bsz, live, precision)
+        if timer is not None:
+            device_sync(chosen.astype(jnp.float32))
 
-        # 2. panel factorization at row offset c
+    # 2. panel factorization at row offset c
+    with _phase("qr"):
         panel = jnp.take(A, chosen, axis=1)
         if cfg.panel_qr == PanelQR.cholqr:
             W, V, taus, sigma, failp = _cholqr_panel(panel, c, precision)
@@ -122,31 +145,37 @@ def _hqrrp_blocks(A, Y, G, order, taus_g, retired, fail, c0: int,
             failp = jnp.asarray(False)
         chosen = jnp.take(chosen, sigma)
         A = A.at[:, chosen].set(W)
+        if timer is not None:
+            device_sync(W)
 
-        # 3. compact-WY trailing update on the remaining live columns
+    # 3. compact-WY trailing update on the remaining live columns
+    with _phase("updating_A"):
         T, Vz = wy_T(V, taus, precision)
         live2 = live.at[chosen].set(0.0)
         Wk = jnp.matmul(Vz.T, A * live2[None, :], precision=precision)
         Upd = jnp.matmul(Vz, jnp.matmul(T.T, Wk, precision=precision),
                          precision=precision)
         A = A - Upd * live2[None, :]
+        if timer is not None:
+            device_sync(A)
 
-        # 4. sketch downdate: G <- G.Q_blk; Y2 -= G_new[:, c:c+b].R12
+    # 4. sketch downdate: G <- G.Q_blk; Y2 -= G_new[:, c:c+b].R12
+    with _phase("updating_sketch"):
         GV = jnp.matmul(G, Vz, precision=precision)
         G = G - jnp.matmul(jnp.matmul(GV, T, precision=precision), Vz.T,
                            precision=precision)
         B = jax.lax.dynamic_slice(G, (0, c), (d, bsz))
         R12 = jax.lax.dynamic_slice(A, (c, 0), (bsz, n)) * live2[None, :]
         Y = Y - jnp.matmul(B, R12, precision=precision) * live2[None, :]
+        if timer is not None:
+            device_sync(Y)
 
-        # commit
+    # commit
+    with _phase("downdating"):
         order = jax.lax.dynamic_update_slice(order, chosen, (c,))
         taus_g = jax.lax.dynamic_update_slice(taus_g, taus, (c,))
         retired = retired.at[chosen].set(1.0)
-        return A, Y, G, order, taus_g, retired, fail | failp
-
-    carry = (A, Y, G, order, taus_g, retired, fail)
-    return jax.lax.fori_loop(0, nblocks, block, carry)
+    return A, Y, G, order, taus_g, retired, fail | failp
 
 
 def _hqrrp_core(A: jax.Array, cfg: HQRRPConfig, state: RNGState,
@@ -184,11 +213,24 @@ def _hqrrp_core(A: jax.Array, cfg: HQRRPConfig, state: RNGState,
 
     with _phase("blocks"):
         carry = (A, Y, G, order, taus_g, retired, fail)
-        if nb_full:
-            carry = _hqrrp_blocks(*carry, 0, nb_full, b, cfg, precision)
-        if r:
-            carry = _hqrrp_blocks(*carry, nb_full * b, 1, r, cfg,
-                                  precision)
+        if timing:
+            # block-split run with the nested per-phase slots accumulated
+            # (qrcp / qr / updating_A / updating_sketch / downdating — the
+            # reference's 26-slot vector collapsed to its top-level
+            # per-iteration phases, rl_hqrrp.hh:1150-1160)
+            for ib in range(nb_full):
+                carry = _hqrrp_block_step(carry, ib * b, b, cfg,
+                                          precision, timer)
+            if r:
+                carry = _hqrrp_block_step(carry, nb_full * b, r, cfg,
+                                          precision, timer)
+        else:
+            if nb_full:
+                carry = _hqrrp_blocks(*carry, 0, nb_full, b, cfg,
+                                      precision)
+            if r:
+                carry = _hqrrp_blocks(*carry, nb_full * b, 1, r, cfg,
+                                      precision)
         A, Y, G, order, taus_g, retired, fail = carry
         if timing:
             device_sync(A)

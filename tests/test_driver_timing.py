@@ -66,7 +66,15 @@ class TestDriverTiming:
     def test_hqrrp_phases(self):
         A, st = _mat(200, 150, seed=5)
         out = hqrrp(A, HQRRPConfig(block_size=50), st, timing=True)
-        assert {"sketch", "blocks", "epilogue"} <= set(out[6])
+        phases = out[6]
+        # top-level + the nested per-iteration slots (26-slot analogue)
+        assert {"sketch", "blocks", "epilogue", "qrcp", "qr",
+                "updating_A", "updating_sketch",
+                "downdating"} <= set(phases)
+        # timed block-split run must match the fused run
+        ref = hqrrp(A, HQRRPConfig(block_size=50), st)
+        np.testing.assert_array_equal(np.asarray(out[2]),
+                                      np.asarray(ref[2]))
 
 
 class TestLinopDriverTiming:
