@@ -65,6 +65,10 @@ class HQRRPConfig:
     block_size: int = 64
     oversample: int = 10          # the reference's pp (sketch rows = b+pp)
     panel_qr: PanelQR = PanelQR.qrcp
+    shard_axis: str | None = None  # mesh axis to row-shard the tall dim
+                                   # over (set by dist_hqrrp): A and the
+                                   # sketch operator G stay sharded, the
+                                   # small Y/T/R stay replicated
 
 
 def _cholqr_panel(panel, row0, precision):
@@ -126,6 +130,10 @@ def _hqrrp_block_step(carry, c, bsz, cfg: HQRRPConfig, precision,
     m, n = A.shape
     d = Y.shape[0]
     live = 1.0 - retired
+    if cfg.shard_axis is not None:
+        from jax.sharding import PartitionSpec as _P
+        A = jax.lax.with_sharding_constraint(A, _P(cfg.shard_axis, None))
+        G = jax.lax.with_sharding_constraint(G, _P(None, cfg.shard_axis))
 
     # 1. QRCP of the downdated sketch -> b pivots (lockstep-equivalent)
     with _phase("qrcp"):

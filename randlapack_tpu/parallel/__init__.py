@@ -18,9 +18,10 @@ from .mesh import make_mesh, row_sharded, replicated
 from .tsqr import dist_cholqr, dist_gram, dist_shifted_cholqr3
 from .distributed import dist_sketch_left, dist_rangefinder_step
 from .dist_drivers import (dist_bqrrp, dist_bqrrp_factored, dist_cqrrpt,
-                           dist_rsvd)
+                           dist_hqrrp, dist_rsvd)
 
 __all__ = ["make_mesh", "row_sharded", "replicated",
            "dist_cholqr", "dist_gram", "dist_shifted_cholqr3",
            "dist_sketch_left", "dist_rangefinder_step",
-           "dist_bqrrp", "dist_bqrrp_factored", "dist_cqrrpt", "dist_rsvd"]
+           "dist_bqrrp", "dist_bqrrp_factored", "dist_cqrrpt", "dist_hqrrp",
+           "dist_rsvd"]

@@ -139,3 +139,20 @@ def dist_bqrrp_factored(A: jax.Array, mesh: Mesh, state: RNGState,
         A, NamedSharding(mesh, P(axis, None)))
     with jax.sharding.set_mesh(mesh):
         return bqrrp_factored(A, cfg, state, precision)
+
+
+def dist_hqrrp(A: jax.Array, mesh: Mesh, state: RNGState,
+               block_size: int = 64, axis: str = "rows",
+               precision=STABLE_PRECISION):
+    """Distributed HQRRP: Householder-QR-with-randomized-pivoting with
+    the tall dimension row-sharded — the sketch QRCP runs redundantly on
+    the replicated d×n sketch, panel factorizations and WY trailing
+    updates psum over the row shards, and the sketch operator G stays
+    column-sharded along m. Returns the standard hqrrp outputs with Q
+    sharded like A."""
+    from ..drivers.hqrrp import HQRRPConfig, hqrrp
+    cfg = HQRRPConfig(block_size=block_size, shard_axis=axis)
+    A = jax.lax.with_sharding_constraint(
+        A, NamedSharding(mesh, P(axis, None)))
+    with jax.sharding.set_mesh(mesh):
+        return hqrrp(A, cfg, state, precision)

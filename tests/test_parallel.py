@@ -157,3 +157,21 @@ class TestDistBQRRPFactored:
         from randlapack_tpu.drivers import BQRRPConfig, bqrrp_factored
         fac1, _ = bqrrp_factored(A, BQRRPConfig(block_size=32), RNGState(32))
         np.testing.assert_array_equal(np.asarray(fac.J), np.asarray(fac1.J))
+
+
+class TestDistHQRRP:
+    def test_matches_single_device(self):
+        from randlapack_tpu.parallel import dist_hqrrp, make_mesh
+        mesh = make_mesh(8)
+        A, st = mat_gen(MatGenInfo(128, 96, MatType.polynomial,
+                                   cond_num=1e5), RNGState(33))
+        Q, R, J, rank, fail, _ = dist_hqrrp(A, mesh, RNGState(34),
+                                            block_size=32)
+        AJ = jnp.take(A, J, axis=1)
+        res = float(jnp.linalg.norm(Q @ R - AJ) / jnp.linalg.norm(A))
+        orth = float(jnp.linalg.norm(Q.T @ Q - jnp.eye(96)))
+        assert res < 1e-12 and orth < 1e-11
+        from randlapack_tpu.drivers import HQRRPConfig, hqrrp
+        _, _, J1, _, _, _ = hqrrp(A, HQRRPConfig(block_size=32),
+                                  RNGState(34))
+        np.testing.assert_array_equal(np.asarray(J), np.asarray(J1))
