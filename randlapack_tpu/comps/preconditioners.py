@@ -29,8 +29,12 @@ def rpc_data_svd_saso(A: jax.Array, d: int, state: RNGState,
     and singular values (n,) of the sketch.
     """
     m, n = A.shape
-    op, state = fill_sparse(SparseDist(d, m, vec_nnz), state, dtype=A.dtype)
-    A_sk = saso_left_apply(op, A)
+    if d >= m:
+        A_sk = A          # near-square: exact sketch
+    else:
+        op, state = fill_sparse(SparseDist(d, m, vec_nnz), state,
+                                dtype=A.dtype)
+        A_sk = saso_left_apply(op, A)
     _, sigma, Vt = svd_econ(A_sk, svd_method, precision)
     return Vt.T, sigma, state
 
@@ -75,8 +79,12 @@ def right_precond_saso(A: jax.Array, d: int, mu, state: RNGState,
     Returns ``(M, rank, fail, next_state)``.
     """
     m, n = A.shape
-    op, state = fill_sparse(SparseDist(d, m, vec_nnz), state, dtype=A.dtype)
-    A_sk = saso_left_apply(op, A)
+    if d >= m:
+        A_sk = A          # near-square: exact sketch
+    else:
+        op, state = fill_sparse(SparseDist(d, m, vec_nnz), state,
+                                dtype=A.dtype)
+        A_sk = saso_left_apply(op, A)
     _, sigma, Vt = svd_econ(A_sk, svd_method, precision)
     M, rank = make_right_orthogonalizer(Vt.T, sigma, mu)
     fail = jnp.asarray(False)

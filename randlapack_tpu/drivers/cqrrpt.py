@@ -59,6 +59,11 @@ class CQRRPTConfig:
 def _sketch_phase(A, cfg: CQRRPTConfig, state, precision):
     m, n = A.shape
     d = int(cfg.d_factor * n)
+    if d >= m:
+        # near-square input: a "sketch" with d >= m rows is pointless (and
+        # the short-axis SASO convention breaks) — use A itself, the exact
+        # zero-distortion sketch (the reference requires m >> n here)
+        return A, state
     if cfg.sketch == "saso":
         op, state = fill_sparse(SparseDist(d, m, cfg.vec_nnz), state,
                                 dtype=A.dtype)

@@ -42,6 +42,8 @@ class CQRRTConfig:
 
 def _sketch(A, d, cfg: CQRRTConfig, state: RNGState, precision):
     m = A.shape[0]
+    if d >= m:
+        return A, state   # near-square: exact sketch (see cqrrpt)
     if cfg.sketch == SketchKind.saso:
         op, state = fill_sparse(SparseDist(d, m, cfg.vec_nnz), state,
                                 dtype=A.dtype)

@@ -46,7 +46,7 @@ def spls(A: jax.Array, b: jax.Array, mu, cfg: SPLSConfig, state: RNGState,
     Returns ``(x, res_hist, iters, next_state)``.
     """
     m, n = A.shape
-    d = int(cfg.d_factor * n)
+    d = min(int(cfg.d_factor * n), m)
     if cfg.precond == "qr":
         from ..sketching import SparseDist, fill_sparse, saso_left_apply
         op, state = fill_sparse(SparseDist(d, m, cfg.vec_nnz), state,

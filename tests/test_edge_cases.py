@@ -162,3 +162,34 @@ class TestBQRRPZeroFamily:
         assert res < 1e-12
         assert int(fac.rank) <= 70
         assert float(jnp.linalg.norm(Qf.T @ Qf - jnp.eye(128))) < 1e-11
+
+
+class TestNearSquareSketchDepth:
+    """d = d_factor*n >= m on near-square inputs: the sketch degenerates —
+    drivers must fall back to the exact (identity) sketch instead of
+    building an over-tall SASO (regression from the randomized sweep)."""
+
+    def test_cqrrpt_near_square(self):
+        from randlapack_tpu.drivers import CQRRPTConfig, cqrrpt
+        A, st = mat_gen(MatGenInfo(33, 30, MatType.exponential,
+                                   cond_num=100), RNGState(10))
+        Q, R, J, rank, fail, _ = cqrrpt(A, CQRRPTConfig(), st)
+        res = float(jnp.linalg.norm(Q @ R - jnp.take(A, J, axis=1))
+                    / jnp.linalg.norm(A))
+        assert res < 1e-12 and not bool(fail)
+
+    def test_cqrrt_near_square(self):
+        from randlapack_tpu.drivers import CQRRTConfig
+        from randlapack_tpu.drivers.cqrrt import cqrrt
+        A, st = mat_gen(MatGenInfo(40, 36, MatType.gaussian), RNGState(11))
+        Q, R, fail, _ = cqrrt(A, CQRRTConfig(), st)
+        assert float(jnp.linalg.norm(Q @ R - A) / jnp.linalg.norm(A)) < 1e-12
+
+    def test_spls_near_square(self):
+        from randlapack_tpu.drivers import SPLSConfig, spls
+        A, st = mat_gen(MatGenInfo(50, 40, MatType.exponential,
+                                   cond_num=10), RNGState(12))
+        xt = jax.random.normal(jax.random.key(1), (40,), jnp.float64)
+        b = A @ xt
+        x, hist, iters, _ = spls(A, b, 0.0, SPLSConfig(), RNGState(13))
+        assert float(jnp.linalg.norm(x - xt) / jnp.linalg.norm(xt)) < 1e-6
