@@ -74,6 +74,14 @@ def abrik_factor(A, state: RNGState, cfg: ABRIKConfig,
     V = jnp.zeros((n, K), dtype).at[:, :b].set(V1)
     B = jnp.zeros((K, K), dtype).at[:b, :b].set(R1)
     capture = jnp.zeros((q,), dtype).at[0].set(jnp.linalg.norm(R1))
+    # Krylov-exhaustion guard (the reference's tiny-diagonal /
+    # capture-threshold early stops, rl_abrik.hh:454,:595,:660): once a
+    # residual block reaches roundoff relative to the leading block, QR of
+    # noise would inject directions NOT orthogonal to the basis and poison
+    # every later triplet — freeze instead (zero blocks are harmless in
+    # the final band SVD). Triggers when q·b exceeds the numerical rank.
+    eps = jnp.finfo(dtype).eps
+    tol_bd = 100.0 * eps * jnp.linalg.norm(R1)
 
     def reorth(W, Basis):
         for _ in range(cfg.reorth_passes):
@@ -83,7 +91,7 @@ def abrik_factor(A, state: RNGState, cfg: ABRIKConfig,
         return W
 
     def body(j, carry):
-        U, V, B, capture = carry
+        U, V, B, capture, stopped = carry
         c = j * b
         # current blocks U_j, V_j live at columns [(j-1)b, jb)
         Uj = jax.lax.dynamic_slice(U, (0, (j - 1) * b), (m, b))
@@ -94,23 +102,27 @@ def abrik_factor(A, state: RNGState, cfg: ABRIKConfig,
         W = _tmatmat(A, Uj, precision) - jnp.matmul(Vj, Rj.T,
                                                     precision=precision)
         W = reorth(W, V)
+        stopped = stopped | (jnp.linalg.norm(W) < tol_bd)
         Vn, L = qr_econ(W)
 
         # even half-step: Z = A V_{j+1} − U_j Lᵀ, reorth, QR → U_{j+1}, R
         Z = _matmat(A, Vn, precision) - jnp.matmul(Uj, L.T,
                                                    precision=precision)
         Z = reorth(Z, U)
+        stopped = stopped | (jnp.linalg.norm(Z) < tol_bd)
         Un, Rn = qr_econ(Z)
 
-        U = jax.lax.dynamic_update_slice(U, Un, (0, c))
-        V = jax.lax.dynamic_update_slice(V, Vn, (0, c))
+        keep = jnp.where(stopped, 0.0, 1.0).astype(dtype)
+        U = jax.lax.dynamic_update_slice(U, Un * keep, (0, c))
+        V = jax.lax.dynamic_update_slice(V, Vn * keep, (0, c))
         # B[j-1, j] block = Lᵀ ; B[j, j] = R
-        B = jax.lax.dynamic_update_slice(B, L.T, ((j - 1) * b, c))
-        B = jax.lax.dynamic_update_slice(B, Rn, (c, c))
+        B = jax.lax.dynamic_update_slice(B, L.T * keep, ((j - 1) * b, c))
+        B = jax.lax.dynamic_update_slice(B, Rn * keep, (c, c))
         capture = capture.at[j].set(jnp.linalg.norm(B))
-        return U, V, B, capture
+        return U, V, B, capture, stopped
 
-    U, V, B, capture = jax.lax.fori_loop(1, q, body, (U, V, B, capture))
+    U, V, B, capture, _ = jax.lax.fori_loop(
+        1, q, body, (U, V, B, capture, jnp.asarray(False)))
     return U, V, B, capture, state
 
 
@@ -160,6 +172,9 @@ def _abrik_factor_timed(A, state, cfg, precision, timer):
                                precision=precision)
         return W
 
+    eps = jnp.finfo(dtype).eps
+    tol_bd = 100.0 * eps * jnp.linalg.norm(B[:b, :b])
+    stopped = jnp.asarray(False)
     t_loop0 = __import__("time").perf_counter()
     for j in range(1, q):
         c = j * b
@@ -174,6 +189,7 @@ def _abrik_factor_timed(A, state, cfg, precision, timer):
             W = reorth(W, V)
             device_sync(W)
         with timer.phase("qr"):
+            stopped = stopped | (jnp.linalg.norm(W) < tol_bd)
             Vn, L = qr_econ(W)
             device_sync(Vn)
         with timer.phase("gemm_A"):
@@ -184,13 +200,15 @@ def _abrik_factor_timed(A, state, cfg, precision, timer):
             Z = reorth(Z, U)
             device_sync(Z)
         with timer.phase("qr"):
+            stopped = stopped | (jnp.linalg.norm(Z) < tol_bd)
             Un, Rn = qr_econ(Z)
             device_sync(Un)
         with timer.phase("s_cpy"):
-            U = U.at[:, c:c + b].set(Un)
-            V = V.at[:, c:c + b].set(Vn)
-            B = B.at[(j - 1) * b:j * b, c:c + b].set(L.T)
-            B = B.at[c:c + b, c:c + b].set(Rn)
+            keep = jnp.where(stopped, 0.0, 1.0).astype(dtype)
+            U = U.at[:, c:c + b].set(Un * keep)
+            V = V.at[:, c:c + b].set(Vn * keep)
+            B = B.at[(j - 1) * b:j * b, c:c + b].set(L.T * keep)
+            B = B.at[c:c + b, c:c + b].set(Rn * keep)
             device_sync(B)
         with timer.phase("norm"):
             capture = capture.at[j].set(jnp.linalg.norm(B))

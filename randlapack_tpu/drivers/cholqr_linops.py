@@ -34,8 +34,7 @@ def blocked_gram(A, block: int | None = None, precision=STABLE_PRECISION):
         M = materialize(A)
         return jnp.matmul(M.T, M, precision=precision)
     b = block
-    assert n % b == 0, "n must be a multiple of the Gram block size"
-    nb = n // b
+    nb, rem = divmod(n, b)
     G = jnp.zeros((n, n), A.dtype)
 
     def outer(j, G):
@@ -51,7 +50,18 @@ def blocked_gram(A, block: int | None = None, precision=STABLE_PRECISION):
         Gjj = jnp.matmul(Aj.T, Aj, precision=precision)
         return jax.lax.dynamic_update_slice(G, Gjj, (j * b, j * b))
 
-    return jax.lax.fori_loop(0, nb, outer, G)
+    G = jax.lax.fori_loop(0, nb, outer, G)
+    if rem:
+        # remainder column block (static shape r != b -> outside the loop)
+        Ar = A.cols(nb * b, rem, precision)
+        for i in range(nb):
+            Ai = A.cols(i * b, b, precision)
+            Gir = jnp.matmul(Ai.T, Ar, precision=precision)
+            G = jax.lax.dynamic_update_slice(G, Gir, (i * b, nb * b))
+            G = jax.lax.dynamic_update_slice(G, Gir.T, (nb * b, i * b))
+        Grr = jnp.matmul(Ar.T, Ar, precision=precision)
+        G = jax.lax.dynamic_update_slice(G, Grr, (nb * b, nb * b))
+    return G
 
 
 def blocked_gram_precond(A, R_chain, block: int | None = None,
@@ -81,8 +91,7 @@ def blocked_gram_precond(A, R_chain, block: int | None = None,
         Y = pre_cols(0, n)
         return jnp.matmul(Y.T, Y, precision=precision)
     b = block
-    assert n % b == 0
-    nb = n // b
+    nb, rem = divmod(n, b)
     G = jnp.zeros((n, n), A.dtype)
 
     def outer(j, G):
@@ -98,7 +107,17 @@ def blocked_gram_precond(A, R_chain, block: int | None = None,
         Gjj = jnp.matmul(Yj.T, Yj, precision=precision)
         return jax.lax.dynamic_update_slice(G, Gjj, (j * b, j * b))
 
-    return jax.lax.fori_loop(0, nb, outer, G)
+    G = jax.lax.fori_loop(0, nb, outer, G)
+    if rem:
+        Yr = pre_cols(nb * b, rem)
+        for i in range(nb):
+            Yi = pre_cols(i * b, b)
+            Gir = jnp.matmul(Yi.T, Yr, precision=precision)
+            G = jax.lax.dynamic_update_slice(G, Gir, (i * b, nb * b))
+            G = jax.lax.dynamic_update_slice(G, Gir.T, (nb * b, i * b))
+        Grr = jnp.matmul(Yr.T, Yr, precision=precision)
+        G = jax.lax.dynamic_update_slice(G, Grr, (nb * b, nb * b))
+    return G
 
 
 @dataclasses.dataclass(frozen=True)
