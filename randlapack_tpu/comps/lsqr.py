@@ -63,11 +63,19 @@ def lsqr(A: jax.Array, b: jax.Array, M: jax.Array | None,
     hist0 = jnp.zeros((cfg.max_iters + 1,), dtype).at[0].set(beta1)
 
     def cond(carry):
-        y, u, v, w, alpha, beta, rhobar, phibar, hist, it = carry
-        return (it < cfg.max_iters) & (phibar > cfg.tol * beta1)
+        y, u, v, w, alpha, beta, rhobar, phibar, phibar_prev, hist, it = \
+            carry
+        # stop on target, or on a hard plateau (phibar is monotone
+        # nonincreasing; once it stalls at the roundoff floor further
+        # iterations are pure waste)
+        stalled = phibar > (1.0 - 1e-9) * phibar_prev
+        return ((it < cfg.max_iters) & (phibar > cfg.tol * beta1)
+                & ~stalled)
 
     def body(carry):
-        y, u, v, w, alpha, beta, rhobar, phibar, hist, it = carry
+        y, u, v, w, alpha, beta, rhobar, phibar, phibar_prev, hist, it = \
+            carry
+        phibar_prev = phibar
         # bidiagonalization step
         u_raw = op(v) - alpha * u
         beta = jnp.linalg.norm(u_raw)
@@ -87,11 +95,12 @@ def lsqr(A: jax.Array, b: jax.Array, M: jax.Array | None,
         y = y + (phi / jnp.maximum(rho, tiny)) * w
         w = v - (theta / jnp.maximum(rho, tiny)) * w
         hist = hist.at[it + 1].set(phibar)
-        return y, u, v, w, alpha_new, beta, rhobar, phibar, hist, it + 1
+        return (y, u, v, w, alpha_new, beta, rhobar, phibar, phibar_prev,
+                hist, it + 1)
 
     carry = (y0, u, v, w, alpha, jnp.zeros((), dtype), alpha, beta1,
-             hist0, jnp.int32(0))
-    y, u, v, w, alpha, beta, rhobar, phibar, hist, it = jax.lax.while_loop(
-        cond, body, carry)
+             2.0 * beta1 + 1.0, hist0, jnp.int32(0))
+    (y, u, v, w, alpha, beta, rhobar, phibar, phibar_prev, hist,
+     it) = jax.lax.while_loop(cond, body, carry)
     x = y if M is None else jnp.matmul(M, y, precision=precision)
     return x, hist, it
