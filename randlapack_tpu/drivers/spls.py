@@ -74,7 +74,19 @@ def spls(A: jax.Array, b: jax.Array, mu, cfg: SPLSConfig, state: RNGState,
         from ..comps.lsqr import LSQRConfig, lsqr
         assert b.ndim == 1 or b.shape[1] == 1, "lsqr path is single-rhs"
         lcfg = LSQRConfig(tol=cfg.pcg.tol, max_iters=cfg.pcg.max_iters)
-        x, hist, iters = lsqr(A, b, M, lcfg, precision)
+        mu_ = jnp.asarray(mu, A.dtype)
+        if float(jnp.max(jnp.atleast_1d(mu_))) > 0.0:
+            # damped least squares: min |Ax-b|^2 + mu|x|^2 as the
+            # augmented system [A; sqrt(mu) I] x = [b; 0] (Paige-Saunders
+            # damping) — plain LSQR on A would silently drop the
+            # regularizer
+            A_aug = jnp.concatenate(
+                [A, jnp.sqrt(mu_) * jnp.eye(n, dtype=A.dtype)], axis=0)
+            b_aug = jnp.concatenate(
+                [b.reshape(-1), jnp.zeros((n,), A.dtype)])
+            x, hist, iters = lsqr(A_aug, b_aug, M, lcfg, precision)
+        else:
+            x, hist, iters = lsqr(A, b, M, lcfg, precision)
         return x, hist, iters, state
     x0 = jnp.zeros((n,) + b.shape[1:], A.dtype)
     c = jnp.zeros_like(x0)

@@ -1,0 +1,100 @@
+"""Randomized property sweeps — seeded mini-fuzz across driver/config
+grids, checking only invariants (residual/orthogonality/pivot validity/
+finiteness). The full-size sweeps that caught the near-square sketch
+degeneracy, the ABRIK Krylov-exhaustion corruption and the Gram-block
+divisibility restriction live in the session logs; these seeded
+reductions keep the classes covered.
+"""
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from randlapack_tpu import RNGState
+from randlapack_tpu.gen import MatGenInfo, MatType, mat_gen
+
+hp = jax.lax.Precision.HIGHEST
+
+
+class TestQRSweep:
+    def test_random_configs(self):
+        from randlapack_tpu.drivers import (BQRRPConfig, HQRRPConfig,
+                                            CQRRPTConfig, bqrrp,
+                                            bqrrp_factored, bqrrp_q,
+                                            cqrrpt, hqrrp)
+        rng = random.Random(0)
+        mts = [MatType.polynomial, MatType.exponential, MatType.gaussian]
+        for trial in range(10):
+            m = rng.choice([33, 97, 128, 200])
+            n = rng.choice([30, 64, 100, 190])
+            b = rng.choice([8, 16, 32])
+            A, st = mat_gen(MatGenInfo(m, n, rng.choice(mts),
+                                       cond_num=10 ** rng.choice([2, 5, 8])),
+                            RNGState(trial))
+            drv = rng.choice(["bqrrp", "factored", "hqrrp", "cqrrpt"])
+            if drv == "cqrrpt" and m < n:
+                drv = "hqrrp"
+            if drv == "bqrrp":
+                Q, R, J, rank, fail, _ = bqrrp(
+                    A, BQRRPConfig(block_size=b,
+                                   stages=rng.choice([1, 2])), st)
+            elif drv == "factored":
+                fac, _ = bqrrp_factored(A, BQRRPConfig(block_size=b), st)
+                Q, R, J, fail = bqrrp_q(fac), fac.R, fac.J, fac.fail
+            elif drv == "hqrrp":
+                Q, R, J, rank, fail, _ = hqrrp(
+                    A, HQRRPConfig(block_size=b), st)
+            else:
+                Q, R, J, rank, fail, _ = cqrrpt(A, CQRRPTConfig(), st)
+            kq = Q.shape[1]
+            AJ = jnp.take(A, J, axis=1)
+            res = float(jnp.linalg.norm(
+                jnp.matmul(Q, R[:kq], precision=hp) - AJ)
+                / max(float(jnp.linalg.norm(A)), 1e-300))
+            assert sorted(np.asarray(J).tolist()) == list(range(n)), \
+                (trial, drv)
+            assert bool(fail) or res < 1e-10, (trial, drv, m, n, b, res)
+
+    def test_abrik_overcomplete_configs(self):
+        """q*b past the numerical rank must degrade gracefully (the
+        Krylov-exhaustion freeze)."""
+        from randlapack_tpu.drivers import ABRIKConfig, abrik
+        from randlapack_tpu.linops import DenseLinOp, CompositeLinOp
+        A1, _ = mat_gen(MatGenInfo(150, 60, MatType.gaussian), RNGState(10))
+        A2, _ = mat_gen(MatGenInfo(60, 100, MatType.gaussian),
+                        RNGState(110))
+        comp = CompositeLinOp(DenseLinOp(A1), DenseLinOp(A2))
+        s_ref = np.linalg.svd(np.asarray(A1) @ np.asarray(A2),
+                              compute_uv=False)[:4]
+        for q in [12, 30]:
+            U, S, Vt, info, _ = abrik(
+                comp, 4, ABRIKConfig(block_size=8, max_iters=q),
+                RNGState(10))
+            np.testing.assert_allclose(np.asarray(S), s_ref, rtol=1e-9)
+
+
+class TestLSSweep:
+    def test_spls_solver_grid(self):
+        from randlapack_tpu.drivers import SPLSConfig, spls
+        from randlapack_tpu.comps import PCGSaddleConfig
+        rng = random.Random(1)
+        for trial in range(4):
+            m, n = rng.choice([(300, 40), (500, 80)])
+            mu = rng.choice([0.0, 1e-4])
+            A, _ = mat_gen(MatGenInfo(m, n, MatType.exponential,
+                                      cond_num=1e4), RNGState(trial))
+            xt = jax.random.normal(jax.random.key(trial), (n,), jnp.float64)
+            b = A @ xt
+            for solver in ["pcg", "lsqr"]:
+                cfg = SPLSConfig(solver=solver,
+                                 pcg=PCGSaddleConfig(tol=1e-12,
+                                                     max_iters=200))
+                x, hist, it, _ = spls(A, b, mu, cfg, RNGState(trial + 1))
+                r = (jnp.matmul(A.T, jnp.matmul(A, x, precision=hp) - b,
+                                precision=hp) + mu * x)
+                opt = float(jnp.linalg.norm(r) / jnp.linalg.norm(
+                    jnp.matmul(A.T, b, precision=hp)))
+                assert opt < 1e-7, (trial, solver, mu, opt)
+                # the plateau stop must fire well before the cap
+                assert int(it) < 200, (trial, solver, int(it))
