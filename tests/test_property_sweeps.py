@@ -98,3 +98,45 @@ class TestLSSweep:
                 assert opt < 1e-7, (trial, solver, mu, opt)
                 # the plateau stop must fire well before the cap
                 assert int(it) < 200, (trial, solver, int(it))
+
+
+class TestTransformComposition:
+    def test_vmap_batches_hqrrp_and_factored(self):
+        from randlapack_tpu.drivers import (BQRRPConfig, HQRRPConfig,
+                                            bqrrp_factored, hqrrp)
+        As = jnp.stack([mat_gen(MatGenInfo(60, 48, MatType.exponential,
+                                           cond_num=1e4), RNGState(i))[0]
+                        for i in range(3)])
+        Qs, Rs = jax.vmap(
+            lambda a: hqrrp(a, HQRRPConfig(block_size=16), RNGState(0))[:2]
+        )(As)
+        for i in range(3):
+            ref = hqrrp(As[i], HQRRPConfig(block_size=16), RNGState(0))
+            np.testing.assert_allclose(np.asarray(Qs[i]),
+                                       np.asarray(ref[0]), atol=1e-11)
+        Rsb = jax.vmap(lambda a: bqrrp_factored(
+            a, BQRRPConfig(block_size=16), RNGState(1))[0].R)(As)
+        for i in range(3):
+            ref = bqrrp_factored(As[i], BQRRPConfig(block_size=16),
+                                 RNGState(1))[0].R
+            np.testing.assert_allclose(np.asarray(Rsb[i]),
+                                       np.asarray(ref), atol=1e-11)
+
+    def test_grad_through_hqrrp_r(self):
+        """hqrrp_lapack_format is the differentiable path (explicit-Q
+        materialization uses householder_product, which has no JVP)."""
+        from randlapack_tpu.drivers import HQRRPConfig, hqrrp_lapack_format
+        A0, _ = mat_gen(MatGenInfo(40, 32, MatType.exponential,
+                                   cond_num=100), RNGState(9))
+
+        def loss(a):
+            _, _, R, _, _ = hqrrp_lapack_format(
+                a, HQRRPConfig(block_size=16), RNGState(2))
+            return jnp.sum(jnp.diag(R[:32, :32]) ** 2)
+
+        gr = jax.grad(loss)(A0)
+        d = jax.random.normal(jax.random.key(3), A0.shape, jnp.float64)
+        e = 1e-6
+        fd = (loss(A0 + e * d) - loss(A0 - e * d)) / (2 * e)
+        assert abs(float(fd) - float(jnp.sum(gr * d))) < 1e-4 * max(
+            abs(float(fd)), 1.0)
