@@ -651,16 +651,62 @@ def bqrrp_factored(A: jax.Array, cfg: BQRRPConfig, state: RNGState,
     return fac, state
 
 
-@partial(jax.jit, static_argnames=("k", "precision"))
+def _wy_tree_merge(fac: BQRRPFactors, precision):
+    """Merge the per-block WY factors into ONE (V, T) pair by pairwise
+    combination: H₁H₂ = I − [V₁ V₂]·[[T₁, −T₁(V₁ᵀV₂)T₂],[0, T₂]]·[V₁ V₂]ᵀ.
+    log₂(nb) levels of batched cross-GEMMs — turns the nb sequential
+    2-GEMM applies into two full-size GEMMs at apply time."""
+    m, Kpad = fac.V.shape
+    nb, b, _ = fac.T.shape
+    Vs = [fac.V[:, i * b:(i + 1) * b] for i in range(nb)]
+    Ts = [fac.T[i] for i in range(nb)]
+    while len(Vs) > 1:
+        nVs, nTs = [], []
+        for i in range(0, len(Vs) - 1, 2):
+            V1, T1 = Vs[i], Ts[i]
+            V2, T2 = Vs[i + 1], Ts[i + 1]
+            cross = -jnp.matmul(
+                T1, jnp.matmul(jnp.matmul(V1.T, V2, precision=precision),
+                               T2, precision=precision),
+                precision=precision)
+            b1, b2 = T1.shape[0], T2.shape[0]
+            T = jnp.block([[T1, cross],
+                           [jnp.zeros((b2, b1), T1.dtype), T2]])
+            nVs.append(jnp.concatenate([V1, V2], axis=1))
+            nTs.append(T)
+        if len(Vs) % 2:
+            nVs.append(Vs[-1])
+            nTs.append(Ts[-1])
+        Vs, Ts = nVs, nTs
+    return Vs[0], Ts[0]
+
+
+@partial(jax.jit, static_argnames=("k", "method", "precision"))
 def bqrrp_q(fac: BQRRPFactors, k: int | None = None,
-            precision=STABLE_PRECISION):
+            method: str = "sequential", precision=STABLE_PRECISION):
     """Materialize the leading ``k`` (default all K = min(m,n)) columns of
     Q from the factored form — the orgqr/ungqr analogue (cost ≈ 4·m·K·k
-    flops; the reference likewise leaves this to the caller)."""
+    flops; the reference likewise leaves this to the caller).
+
+    ``method="sequential"`` (default) applies the nb blocks one by one —
+    measured FASTER on the chip than the tree merge (8192²: 0.104 s vs
+    0.143 s; the (K, K) combined-T algebra costs more than the saved
+    per-block latency) and slightly better-conditioned. ``"tree"`` merges
+    the block-WY factors pairwise into one reflector block (two full-size
+    GEMMs) — kept for apply-many workloads where the merge amortizes."""
     m, _ = fac.V.shape
     nb, b, _ = fac.T.shape
     k = fac.R.shape[0] if k is None else k
-    Q = jnp.eye(m, k, dtype=fac.V.dtype)
+    dtype = fac.V.dtype
+
+    if method == "tree":
+        V, T = _wy_tree_merge(fac, precision)
+        # Q = (I − V T Vᵀ)·E_k  = E_k − V·(T·(Vᵀ E_k)) ; Vᵀ E_k = V[:k].T
+        W = jnp.matmul(T, V[:k, :].T, precision=precision)
+        Q = -jnp.matmul(V, W, precision=precision)
+        return Q.at[jnp.arange(k), jnp.arange(k)].add(1.0)
+
+    Q = jnp.eye(m, k, dtype=dtype)
 
     def apply_h(j, Q):
         i = nb - 1 - j

@@ -212,3 +212,17 @@ class TestFactoredQRTallVariants:
         orth = float(jnp.linalg.norm(
             jnp.matmul(Q.T, Q, precision=hp) - jnp.eye(320)))
         assert res < ATOL * 10 and orth < ATOL * np.sqrt(320) * 10
+
+
+class TestBQRRPQMethods:
+    def test_tree_equals_sequential(self):
+        A, st = mat_gen(MatGenInfo(250, 180, MatType.polynomial,
+                                   cond_num=1e6), RNGState(5))
+        fac, _ = bqrrp_factored(A, BQRRPConfig(block_size=50), st)
+        Qt = bqrrp_q(fac, method="tree")
+        Qs = bqrrp_q(fac, method="sequential")
+        np.testing.assert_allclose(np.asarray(Qt), np.asarray(Qs),
+                                   atol=1e-13)
+        Qk = bqrrp_q(fac, k=50, method="tree")
+        np.testing.assert_allclose(np.asarray(Qk), np.asarray(Qs[:, :50]),
+                                   atol=1e-13)
