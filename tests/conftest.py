@@ -30,3 +30,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng_np():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables + their baked-in constants after each
+    test module. With hundreds of live jitted programs the suite
+    deterministically SEGFAULTED ~85% in inside jax's persistent-cache
+    serializer (both the read and the write path; the same test passes in
+    isolation, and the host has ample RAM — some executable-count-
+    dependent state in the serializer). Clearing per module avoids the
+    crash and also cut the full-suite wall time ~3x (329 s); the on-disk
+    cache keeps re-JITs cheap."""
+    yield
+    jax.clear_caches()
