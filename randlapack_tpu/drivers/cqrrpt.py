@@ -91,6 +91,12 @@ def _qrcp_phase(A_sk, cfg: CQRRPTConfig, state, precision):
             precision)
         R_sk = R_sk[:n, :]
     else:
+        # the EXPLICIT driver on purpose: its final-orth pass re-couples
+        # R to an orthonormalized Q at working precision, which matters
+        # here because R_sk becomes the CholQR preconditioner — measured
+        # on the chip, the factored form's R (no final-orth) degrades the
+        # final orthogonality 9.8e-5 -> 2.3e-3 at 131072x2048 f32 for no
+        # speed gain (0.206 s vs 0.204 s)
         from .bqrrp import BQRRPConfig, bqrrp
         _, R_sk, J, _, _, state = bqrrp(
             A_sk, BQRRPConfig(block_size=cfg.bqrrp_block), state, precision)
