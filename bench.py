@@ -128,6 +128,10 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
     }), flush=True)
 
+    # budget clock restarts here: remote-compile time for the headline
+    # varies by MINUTES day to day and must not starve the other configs
+    t_start = time.time()
+
     # ---- config 1: RSVD 4096x4096 rank 256 -----------------------------
     try:
         if time.time() - t_start > BUDGET_S:
