@@ -201,3 +201,22 @@ class TestPivotCandidatesAdversarial:
             # the ~50 independent directions are found either way
             d = np.abs(np.diag(np.asarray(R)))
             assert np.sum(d > 1e-6 * d[0]) >= 50, pc
+
+
+class TestHeadlineConfigShape:
+    def test_bench_headline_config_invariants(self):
+        """CPU-scale guard for the benchmark headline path: the same
+        config shape (cholqr panels + pivot candidates + 2 stages,
+        factored form) must stay within reference tolerances."""
+        from randlapack_tpu.drivers import (BQRRPConfig, bqrrp_factored,
+                                            bqrrp_q)
+        A, st = mat_gen(MatGenInfo(1024, 1024, MatType.exponential,
+                                   cond_num=1e6), RNGState(77))
+        cfg = BQRRPConfig(block_size=128, pivot_candidates=4, stages=2)
+        fac, _ = bqrrp_factored(A, cfg, st)
+        Q = bqrrp_q(fac)
+        res = float(jnp.linalg.norm(Q @ fac.R - jnp.take(A, fac.J, axis=1))
+                    / jnp.linalg.norm(A))
+        orth = float(jnp.linalg.norm(Q.T @ Q - jnp.eye(1024)))
+        assert res < ATOL * 10 and orth < ATOL * np.sqrt(1024) * 10
+        assert not bool(fac.fail)
