@@ -85,6 +85,10 @@ class BQRRPConfig:
                                   # columns is ~8× cheaper with near-
                                   # identical pivot quality). None = faithful
                                   # full-width LU (the reference's luqr).
+    pallas_trailing: str = "auto" # factored form only: route the masked
+                                  # WY trailing update through the fused
+                                  # Pallas kernels (ops/pallas_wy.py) on
+                                  # TPU when shapes divide; "never" = jnp
 
 
 def _fix_pivots(chosen, retired):
@@ -510,11 +514,11 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
 
         # -- WY trailing update on remaining live columns ---------------
         live2 = live.at[chosen].set(0.0)
-        Am = A * live2[None, :]
-        Wk = jnp.matmul(V.T, Am, precision=precision)          # (b, n)
-        Upd = jnp.matmul(V, jnp.matmul(T.T, Wk, precision=precision),
-                         precision=precision)
-        A = A - Upd * live2[None, :]
+        from ..ops.pallas_wy import trailing_wy_update
+        _pallas = ("never" if cfg.shard_axis is not None
+                   else cfg.pallas_trailing)
+        A = trailing_wy_update(A, V, T, live2, precision,
+                               use_pallas=_pallas)
 
         # -- exact sketch downdate: B = Y_panel·R11⁻¹·S -----------------
         B = jax.lax.linalg.triangular_solve(

@@ -1,0 +1,134 @@
+"""Pallas TPU kernels for the factored-BQRRP trailing WY update —
+the loop's dominant cost (attribution-probed: the per-block small ops are
+~free; the masked trailing GEMMs run ~2× off the square-GEMM peak).
+
+Fuses the live-column mask into the GEMM operand load/store so the
+update runs in exactly two passes over the window:
+
+    Wk = Vᵀ·(A ⊙ live)         (reduction-grid GEMM, mask fused in)
+    A ← A − (V·Z) ⊙ live       (GEMM + masked subtract, one read/write)
+
+with Z = Tᵀ·Wk computed between them by XLA (b×b-by-b×w, cheap).
+jnp fallbacks cover non-divisible shapes and non-TPU backends; the
+kernels are exercised in interpret mode by the CPU tests.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+HP = jax.lax.Precision.HIGHEST
+
+
+def _divisible(m, w, b, tm, tn):
+    return m % tm == 0 and w % tn == 0 and b % 128 == 0
+
+
+def masked_vt_a_reference(V, A, mask, precision=HP):
+    return jnp.matmul(V.T, A * mask[None, :], precision=precision)
+
+
+def a_minus_vz_masked_reference(A, V, Z, mask, precision=HP):
+    return A - jnp.matmul(V, Z, precision=precision) * mask[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def masked_vt_a(V: jax.Array, A: jax.Array, mask: jax.Array,
+                interpret: bool = False) -> jax.Array:
+    """Wk = Vᵀ·(A ⊙ mask) with the mask fused into the A load.
+
+    V (m, b), A (m, w), mask (w,) → (b, w). Requires m % 512 == 0,
+    w % 512 == 0, b % 128 == 0 (callers fall back otherwise).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, b = V.shape
+    w = A.shape[1]
+    TM = TN = 512
+    mask2 = mask.reshape(1, w)
+
+    def kern(v_ref, a_ref, mk_ref, o_ref):
+        mi = pl.program_id(1)
+
+        @pl.when(mi == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        am = a_ref[...] * mk_ref[...]
+        o_ref[...] += jnp.dot(v_ref[...].T, am, precision=HP,
+                              preferred_element_type=jnp.float32)
+
+    return pl.pallas_call(
+        kern,
+        grid=(w // TN, m // TM),          # reduction dim LAST (fastest)
+        in_specs=[
+            pl.BlockSpec((TM, b), lambda wi, mi: (mi, 0)),
+            pl.BlockSpec((TM, TN), lambda wi, mi: (mi, wi)),
+            pl.BlockSpec((1, TN), lambda wi, mi: (0, wi)),
+        ],
+        out_specs=pl.BlockSpec((b, TN), lambda wi, mi: (0, wi)),
+        out_shape=jax.ShapeDtypeStruct((b, w), A.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(V, A, mask2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def a_minus_vz_masked(A: jax.Array, V: jax.Array, Z: jax.Array,
+                      mask: jax.Array, interpret: bool = False) -> jax.Array:
+    """A − (V·Z) ⊙ mask in one pass over A (GEMM epilogue fused).
+
+    A (m, w), V (m, b), Z (b, w), mask (w,) → (m, w).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, b = V.shape
+    w = A.shape[1]
+    TM = TN = 512
+    mask2 = mask.reshape(1, w)
+
+    def kern(a_ref, v_ref, z_ref, mk_ref, o_ref):
+        upd = jnp.dot(v_ref[...], z_ref[...], precision=HP,
+                      preferred_element_type=jnp.float32)
+        o_ref[...] = a_ref[...] - upd * mk_ref[...]
+
+    return pl.pallas_call(
+        kern,
+        grid=(m // TM, w // TN),
+        in_specs=[
+            pl.BlockSpec((TM, TN), lambda mi, wi: (mi, wi)),
+            pl.BlockSpec((TM, b), lambda mi, wi: (mi, 0)),
+            pl.BlockSpec((b, TN), lambda mi, wi: (0, wi)),
+            pl.BlockSpec((1, TN), lambda mi, wi: (0, wi)),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda mi, wi: (mi, wi)),
+        out_shape=jax.ShapeDtypeStruct((m, w), A.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(A, V, Z, mask2)
+
+
+def trailing_wy_update(A, V, T, mask, precision=HP, use_pallas="auto",
+                       interpret: bool = False):
+    """The full fused trailing update: A ← A − V·(Tᵀ·(Vᵀ·(A⊙mask)))⊙mask.
+
+    ``use_pallas="auto"`` routes to the kernels on TPU when shapes
+    divide; "never" forces the jnp path (the numerics are identical up to
+    accumulation order)."""
+    m, b = V.shape
+    w = A.shape[1]
+    ok = _divisible(m, w, b, 512, 512)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if use_pallas == "never" or not ok or (not on_tpu and not interpret):
+        Wk = masked_vt_a_reference(V, A, mask, precision)
+        Z = jnp.matmul(T.T, Wk, precision=precision)
+        return a_minus_vz_masked_reference(A, V, Z, mask, precision)
+    Wk = masked_vt_a(V, A, mask, interpret=interpret)
+    Z = jnp.matmul(T.T, Wk, precision=precision)
+    return a_minus_vz_masked(A, V, Z, mask, interpret=interpret)

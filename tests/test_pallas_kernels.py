@@ -52,3 +52,39 @@ class TestGaussianSketch:
         # different seed differs
         out3 = gaussian_sketch(A, d, 12, interpret=True)
         assert not np.allclose(np.asarray(out), np.asarray(out3))
+
+
+class TestPallasWY:
+    """Fused masked-WY trailing update kernels (ops/pallas_wy.py) vs the
+    jnp reference, in interpret mode."""
+
+    def test_masked_vt_a(self):
+        from randlapack_tpu.ops.pallas_wy import (masked_vt_a,
+                                                  masked_vt_a_reference)
+        rng = np.random.default_rng(0)
+        V = jnp.asarray(rng.standard_normal((1024, 512)), jnp.float32)
+        A = jnp.asarray(rng.standard_normal((1024, 1024)), jnp.float32)
+        mask = jnp.asarray(rng.random(1024) > 0.3, jnp.float32)
+        o1 = masked_vt_a(V, A, mask, interpret=True)
+        o2 = masked_vt_a_reference(V, A, mask)
+        assert float(jnp.max(jnp.abs(o1 - o2))) < 1e-3 * float(
+            jnp.max(jnp.abs(o2)))
+
+    def test_full_trailing_update_and_fallback(self):
+        from randlapack_tpu.ops.pallas_wy import (
+            trailing_wy_update, a_minus_vz_masked_reference,
+            masked_vt_a_reference)
+        rng = np.random.default_rng(1)
+        V = jnp.asarray(rng.standard_normal((1024, 512)), jnp.float32)
+        A = jnp.asarray(rng.standard_normal((1024, 1024)), jnp.float32)
+        T = jnp.asarray(rng.standard_normal((512, 512)), jnp.float32) / 512
+        mask = jnp.asarray(rng.random(1024) > 0.5, jnp.float32)
+        hp = jax.lax.Precision.HIGHEST
+        Wk = masked_vt_a_reference(V, A, mask)
+        ref = a_minus_vz_masked_reference(
+            A, V, jnp.matmul(T.T, Wk, precision=hp), mask)
+        out_k = trailing_wy_update(A, V, T, mask, interpret=True)
+        assert float(jnp.max(jnp.abs(out_k - ref))) < 2e-3
+        # non-divisible shapes take the jnp fallback transparently
+        out_f = trailing_wy_update(A[:1000], V[:1000], T, mask)
+        assert out_f.shape == (1000, 1024)
