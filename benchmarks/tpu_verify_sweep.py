@@ -1,0 +1,115 @@
+"""TPU-side invariant sweep — runs the driver surface on the REAL chip
+in f32 and checks residual/orthogonality/pivot/finiteness invariants.
+
+Why this exists: CPU-f64 tests stay green through TPU-only failure modes
+(this backend miscompiles scalar induction-variable predicates inside
+fori_loop — it silently zeroed QB/RSVD on the chip while every CPU test
+passed; see CLAUDE.md). Run this after any change to a driver hot path,
+and at round end. Exit code 0 iff every check passes.
+
+Usage: python benchmarks/tpu_verify_sweep.py [quick|full]
+(quick ≈ 4 min warm; full adds bigger shapes.)
+"""
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from randlapack_tpu import RNGState  # noqa: E402
+from randlapack_tpu.gen import fast_decay_matrix  # noqa: E402
+
+hp = jax.lax.Precision.HIGHEST
+FAILS = []
+
+
+def check(tag, cond, detail=""):
+    status = "ok" if cond else "FAIL"
+    print(f"[{status}] {tag} {detail}", flush=True)
+    if not cond:
+        FAILS.append((tag, detail))
+
+
+def qr_invariants(tag, A, Q, R, J, fail, res_tol, orth_tol):
+    K = Q.shape[1]
+    AJ = jnp.take(A, J, axis=1)
+    res = float(jnp.linalg.norm(jnp.matmul(Q, R[:K], precision=hp) - AJ)
+                / jnp.linalg.norm(A))
+    orth = float(jnp.linalg.norm(
+        jnp.matmul(Q.T, Q, precision=hp) - jnp.eye(K, dtype=Q.dtype)))
+    jvalid = sorted(np.asarray(J).tolist()) == list(range(A.shape[1]))
+    check(tag, (res < res_tol or bool(fail)) and orth < orth_tol and jvalid,
+          f"res {res:.2e} orth {orth:.2e} fail {bool(fail)}")
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "quick"
+    t0 = time.time()
+    n = 2048
+
+    A, st = fast_decay_matrix(n, n, RNGState(0), dtype=jnp.float32)
+    eps = float(jnp.finfo(jnp.float32).eps)
+    res_tol = eps ** 0.75 * 10
+    orth_tol = eps ** 0.75 * np.sqrt(n) * 10
+
+    from randlapack_tpu.drivers import (ABRIKConfig, BQRRPConfig,
+                                        CQRRPTConfig, HQRRPConfig,
+                                        RSVDConfig, abrik, bqrrp,
+                                        bqrrp_factored, bqrrp_q, cqrrpt,
+                                        hqrrp)
+    from randlapack_tpu.drivers.rsvd import rsvd_fixed_rank
+    from randlapack_tpu.comps import QBConfig
+
+    fac, _ = bqrrp_factored(
+        A, BQRRPConfig(block_size=256, pivot_candidates=4, stages=2), st)
+    qr_invariants("bqrrp_factored 2048", A, bqrrp_q(fac), fac.R, fac.J,
+                  fac.fail, res_tol, orth_tol)
+
+    Q, R, J, rank, fail, _ = bqrrp(A, BQRRPConfig(block_size=256), st)
+    qr_invariants("bqrrp explicit 2048", A, Q, R, J, fail, res_tol,
+                  orth_tol)
+
+    Q, R, J, rank, fail, _ = hqrrp(A[:, :512], HQRRPConfig(block_size=128),
+                                   st)
+    qr_invariants("hqrrp 2048x512", A[:, :512], Q, R, J, fail, res_tol,
+                  eps ** 0.75 * np.sqrt(512) * 10)
+
+    At, st2 = fast_decay_matrix(16384, 512, RNGState(1), dtype=jnp.float32,
+                                decay=6.0)
+    Q, R, J, rank, fail, _ = cqrrpt(At, CQRRPTConfig(sketch="srht"), st2)
+    qr_invariants("cqrrpt 16384x512", At, Q, R, J, fail, res_tol,
+                  eps ** 0.75 * np.sqrt(512) * 10)
+
+    # the miscompile regression class: QB/RSVD error histories must decay
+    U, S, Vt, err, _ = rsvd_fixed_rank(
+        A, 128, RSVDConfig(QBConfig(block_size=64)), st)
+    orth = float(jnp.linalg.norm(
+        jnp.matmul(U.T, U, precision=hp) - jnp.eye(128, dtype=jnp.float32)))
+    check("rsvd 2048 k128", 0.0 < float(err) < 1.0 and orth < 1e-3,
+          f"qb err {float(err):.2e} orth {orth:.2e}")
+
+    U, S, Vt, info, _ = abrik(A[:, :1024], 32,
+                              ABRIKConfig(block_size=32, max_iters=4), st)
+    check("abrik 2048x1024 k32",
+          bool(jnp.all(jnp.isfinite(S))) and float(S[0]) > 0,
+          f"sigma0 {float(S[0]):.3e}")
+
+    if mode == "full":
+        n2 = 4096
+        A2, st3 = fast_decay_matrix(n2, n2, RNGState(2), dtype=jnp.float32)
+        fac, _ = bqrrp_factored(
+            A2, BQRRPConfig(block_size=512, pivot_candidates=4, stages=2),
+            st3)
+        qr_invariants("bqrrp_factored 4096", A2, bqrrp_q(fac), fac.R,
+                      fac.J, fac.fail, res_tol,
+                      eps ** 0.75 * np.sqrt(n2) * 10)
+
+    print(f"\n{len(FAILS)} failures, {time.time() - t0:.0f}s")
+    sys.exit(1 if FAILS else 0)
+
+
+if __name__ == "__main__":
+    main()
