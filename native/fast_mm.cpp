@@ -4,9 +4,11 @@
 // std::from_chars; ~10x faster than scipy.io.mmread on large files.
 //
 // Exposed as the CPython module `_randlapack_native`:
-//   fast_mm_read(path) -> (rows int32[], cols int32[], vals float64[], m, n)
+//   fast_mm_read(path)  -> (rows int32[], cols int32[], vals float64[], m, n)
+//   fast_mm_write(path, rows, cols, vals, m, n) -> None
 // Symmetric files are expanded to general (both triangles), matching
-// scipy.io.mmread semantics. Pattern files get vals = 1.0.
+// scipy.io.mmread semantics. Pattern files get vals = 1.0. The writer
+// emits coordinate/general with %.17g values (round-trip exact for f64).
 
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
@@ -149,9 +151,75 @@ PyObject* fast_mm_read(PyObject*, PyObject* args) {
   return Py_BuildValue("(NNNll)", rows, cols, vals, coo.m, coo.n);
 }
 
+PyObject* fast_mm_write(PyObject*, PyObject* args) {
+  const char* path = nullptr;
+  PyObject *rows_o, *cols_o, *vals_o;
+  long m, n;
+  if (!PyArg_ParseTuple(args, "sOOOll", &path, &rows_o, &cols_o, &vals_o,
+                        &m, &n))
+    return nullptr;
+  PyArrayObject* rows = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(rows_o, NPY_INT32, NPY_ARRAY_IN_ARRAY));
+  PyArrayObject* cols = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(cols_o, NPY_INT32, NPY_ARRAY_IN_ARRAY));
+  PyArrayObject* vals = reinterpret_cast<PyArrayObject*>(
+      PyArray_FROM_OTF(vals_o, NPY_FLOAT64, NPY_ARRAY_IN_ARRAY));
+  if (!rows || !cols || !vals) {
+    Py_XDECREF(rows); Py_XDECREF(cols); Py_XDECREF(vals);
+    return nullptr;
+  }
+  npy_intp nnz = PyArray_SIZE(vals);
+  if (PyArray_SIZE(rows) != nnz || PyArray_SIZE(cols) != nnz) {
+    Py_DECREF(rows); Py_DECREF(cols); Py_DECREF(vals);
+    PyErr_SetString(PyExc_ValueError, "rows/cols/vals length mismatch");
+    return nullptr;
+  }
+  const int32_t* rp = static_cast<const int32_t*>(PyArray_DATA(rows));
+  const int32_t* cp = static_cast<const int32_t*>(PyArray_DATA(cols));
+  const double* vp = static_cast<const double*>(PyArray_DATA(vals));
+
+  bool ok = true;
+  Py_BEGIN_ALLOW_THREADS
+  FILE* f = std::fopen(path, "wb");
+  if (!f) {
+    ok = false;
+  } else {
+    std::string buf;
+    buf.reserve(static_cast<size_t>(nnz) * 32 + 128);
+    buf += "%%MatrixMarket matrix coordinate real general\n";
+    char line[96];
+    std::snprintf(line, sizeof line, "%ld %ld %lld\n", m, n,
+                  static_cast<long long>(nnz));
+    buf += line;
+    for (npy_intp k = 0; k < nnz; ++k) {
+      std::snprintf(line, sizeof line, "%d %d %.17g\n", rp[k] + 1,
+                    cp[k] + 1, vp[k]);
+      buf += line;
+      if (buf.size() > (1u << 22)) {
+        if (std::fwrite(buf.data(), 1, buf.size(), f) != buf.size()) {
+          ok = false; break;
+        }
+        buf.clear();
+      }
+    }
+    if (ok && !buf.empty())
+      ok = std::fwrite(buf.data(), 1, buf.size(), f) == buf.size();
+    std::fclose(f);
+  }
+  Py_END_ALLOW_THREADS
+  Py_DECREF(rows); Py_DECREF(cols); Py_DECREF(vals);
+  if (!ok) {
+    PyErr_SetString(PyExc_ValueError, "write failed");
+    return nullptr;
+  }
+  Py_RETURN_NONE;
+}
+
 PyMethodDef methods[] = {
     {"fast_mm_read", fast_mm_read, METH_VARARGS,
      "Read a MatrixMarket coordinate file -> (rows, cols, vals, m, n)."},
+    {"fast_mm_write", fast_mm_write, METH_VARARGS,
+     "Write COO (0-based rows, cols, vals, m, n) as MatrixMarket."},
     {nullptr, nullptr, 0, nullptr},
 };
 

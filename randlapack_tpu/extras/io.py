@@ -39,7 +39,19 @@ def mm_read(path: str, dense: bool = False):
 
 
 def mm_write(path: str, rows, cols, vals, shape, symmetric: bool = False):
-    """Write a COO matrix as MatrixMarket coordinate format."""
+    """Write a COO matrix as MatrixMarket coordinate format. Uses the
+    native C++ writer when built (general symmetry only); scipy
+    otherwise."""
+    if not symmetric:
+        try:
+            from randlapack_tpu.native import fast_mm_write
+            fast_mm_write(path, np.asarray(rows, np.int32),
+                          np.asarray(cols, np.int32),
+                          np.asarray(vals, np.float64),
+                          int(shape[0]), int(shape[1]))
+            return
+        except ImportError:
+            pass
     import scipy.sparse as sp
     import scipy.io as sio
     A = sp.coo_matrix((np.asarray(vals),

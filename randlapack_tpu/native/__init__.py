@@ -2,7 +2,7 @@
 consumer falls back to pure-Python/scipy paths when the extension is
 absent, so the package works unbuilt."""
 try:
-    from ._randlapack_native import fast_mm_read  # noqa: F401
+    from ._randlapack_native import fast_mm_read, fast_mm_write  # noqa: F401
     HAVE_NATIVE = True
 except ImportError:  # extension not built
     HAVE_NATIVE = False
@@ -10,4 +10,7 @@ except ImportError:  # extension not built
     def fast_mm_read(path):  # noqa: D103
         raise ImportError("native extension not built; run native/build.sh")
 
-__all__ = ["fast_mm_read", "HAVE_NATIVE"]
+    def fast_mm_write(path, rows, cols, vals, m, n):  # noqa: D103
+        raise ImportError("native extension not built; run native/build.sh")
+
+__all__ = ["fast_mm_read", "fast_mm_write", "HAVE_NATIVE"]
