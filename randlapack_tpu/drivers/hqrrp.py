@@ -86,6 +86,15 @@ def _cholqr_panel(panel, row0, precision):
     cols = jnp.arange(b)
     Pm = jnp.where(rows[:, None] >= row0, panel, 0.0)
     Qp, R_chol, fail = cholqr2(Pm, precision)
+    # breakdown sanitize (repo convention: fail is a FLAG, outputs stay
+    # finite): substitute identity columns at the panel offset so the
+    # reconstruction and downstream WY algebra remain well-defined
+    nanp = jnp.any(~jnp.isfinite(Qp)) | jnp.any(~jnp.isfinite(R_chol))
+    E_pad = jnp.zeros((m, b), dtype).at[
+        row0 + cols, cols].set(1.0)
+    Qp = jnp.where(nanp, E_pad, Qp)
+    R_chol = jnp.where(nanp, 0.0, R_chol)
+    fail = fail | nanp
     V, _, s = orhr_col(Qp, row0, precision)
     taus = 2.0 / jnp.sum(V * V, axis=0)
     R11 = s[:, None] * R_chol

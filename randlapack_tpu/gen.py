@@ -134,8 +134,8 @@ def bad_cholqr_matrix(m: int, n: int, state: RNGState, dtype,
     cond ≈ 1/√eps so the Gram matrix is numerically indefinite."""
     eps = float(jnp.finfo(dtype).eps)
     cond = cond or (0.5 / math.sqrt(eps))
-    s = gen_exp_singvals(n, cond, dtype)
-    return gen_singvec(m, n, s, state)
+    s = gen_exp_singvals(min(m, n), cond, dtype)   # k = min(m, n): wide
+    return gen_singvec(m, n, s, state)             # inputs work too
 
 
 def adversarial_matrix(m: int, n: int, state: RNGState, dtype,

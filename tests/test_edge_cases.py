@@ -193,3 +193,25 @@ class TestNearSquareSketchDepth:
         b = A @ xt
         x, hist, iters, _ = spls(A, b, 0.0, SPLSConfig(), RNGState(13))
         assert float(jnp.linalg.norm(x - xt) / jnp.linalg.norm(xt)) < 1e-6
+
+
+class TestGeneratorWideShapes:
+    def test_bad_cholqr_wide(self):
+        from randlapack_tpu.gen import bad_cholqr_matrix
+        A, _ = bad_cholqr_matrix(31, 99, RNGState(0), jnp.float64)
+        assert A.shape == (31, 99)
+        s = np.linalg.svd(np.asarray(A), compute_uv=False)
+        assert s[0] / s[-1] > 1e6   # still ill-conditioned by design
+
+    def test_hqrrp_cholqr_panel_breakdown_stays_finite(self):
+        """fail is a FLAG: adversarial input through CholQR panels must
+        return finite outputs with fail=True, never NaN."""
+        from randlapack_tpu.gen import adversarial_matrix
+        from randlapack_tpu.drivers import HQRRPConfig, PanelQR, hqrrp
+        A, _ = adversarial_matrix(222, 99, RNGState(520), jnp.float64)
+        Q, R, J, rank, fail, _ = hqrrp(
+            A, HQRRPConfig(block_size=16, panel_qr=PanelQR.cholqr),
+            RNGState(520))
+        assert bool(jnp.all(jnp.isfinite(Q)))
+        assert bool(jnp.all(jnp.isfinite(R)))
+        assert bool(fail)
