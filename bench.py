@@ -77,7 +77,11 @@ def main():
     log(f"[bench] BQRRP {n}x{n} (factored / GEQP3-semantics) ...")
     A, st = fast_decay_matrix(n, n, RNGState(0), dtype=dtype)
     cfg = BQRRPConfig(block_size=512, pivot_candidates=4, stages=2)
-    (fac, _), t = timed(lambda a, s: bqrrp_factored(a, cfg, s), A, st)
+    # min-of-8: warm reps are ~0.25s each and the headline runs before the
+    # wall budget starts; extra reps squeeze the within-process sampling
+    # noise out of the one number the driver records
+    (fac, _), t = timed(lambda a, s: bqrrp_factored(a, cfg, s), A, st,
+                        reps=8)
     qr_flops = 4.0 / 3.0 * n ** 3
     gflops = qr_flops / t / 1e9
     Q = bqrrp_q(fac)
