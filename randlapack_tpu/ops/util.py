@@ -133,3 +133,17 @@ def dims_before_op(n_rows: int, n_cols: int, trans: bool):
     """Dimensions of X such that op(X) is n_rows × n_cols (RandBLAS
     ``dims_before_op``)."""
     return (n_cols, n_rows) if trans else (n_rows, n_cols)
+
+
+def transpose_square(A: jax.Array) -> jax.Array:
+    """Square-matrix transpose (rl_util.hh:279 ``transpose_square``).
+
+    The reference transposes in place by swapping off-diagonal pairs of a
+    column-major buffer; XLA arrays are immutable and layout-free, so the
+    whole family of buffer-layout utilities collapses: this is
+    ``A.T`` (and rl_util.hh:315 ``transposition`` is :func:`omatcopy`
+    with ``trans=True``; rl_util.hh:295 ``eat_lda_slack`` has no analogue
+    at all — there is no leading-dimension stride to strip)."""
+    m, n = A.shape
+    assert m == n, f"transpose_square needs square input, got {A.shape}"
+    return A.T

@@ -4,6 +4,7 @@ orthogonality ≤ eps^0.75-scale, SURVEY.md §4)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from randlapack_tpu import RNGState
 from randlapack_tpu.ops import cholqr, cholqr2, shifted_cholqr3, geqp3, qr_econ
@@ -189,3 +190,10 @@ class TestRandBLASSmallUtils:
                                    2.0 * np.arange(6.0).reshape(2, 3).T)
         assert util.dims_before_op(4, 7, True) == (7, 4)
         assert util.dims_before_op(4, 7, False) == (4, 7)
+
+    def test_transpose_square(self):
+        A = jnp.asarray(np.arange(16.0).reshape(4, 4))
+        np.testing.assert_allclose(np.asarray(util.transpose_square(A)),
+                                   np.arange(16.0).reshape(4, 4).T)
+        with pytest.raises(AssertionError):
+            util.transpose_square(jnp.zeros((3, 4)))
