@@ -34,6 +34,13 @@ def krill_full_rpchol(G, H: jax.Array, mus, cfg: KrillConfig,
     the preconditioner is built from the *unregularized* operator
     (rl_krill.hh:47) and applied per-column when μ is a vector.
 
+    NOTE: the regularization that defines the linear systems lives in
+    ``G`` itself (construct it with the same scalar-or-vector μ, exactly
+    as the reference's RegExplicitSymLinOp holds its μs) — the ``mus``
+    argument here only parameterizes the preconditioner and must match
+    ``G``'s regularization, or PCG solves a different system than the
+    preconditioner targets.
+
     Returns ``(X, res_hist, iters, next_state)``.
     """
     n = G.dim
