@@ -28,6 +28,12 @@ from ..config import STABLE_PRECISION
 class LSQRConfig:
     tol: float = 1e-10            # relative residual-reduction target
     max_iters: int = 200
+    stall_patience: int = 3       # consecutive no-progress iterations
+                                  # before the plateau cutoff fires; the
+                                  # threshold is dtype-aware (1 − 8·eps),
+                                  # so a single rounded-to-zero decrease
+                                  # (common in f32) doesn't abort a
+                                  # genuine mid-convergence plateau
 
 
 @partial(jax.jit, static_argnames=("cfg", "precision"))
@@ -62,19 +68,21 @@ def lsqr(A: jax.Array, b: jax.Array, M: jax.Array | None,
     y0 = jnp.zeros((n_y,), dtype)
     hist0 = jnp.zeros((cfg.max_iters + 1,), dtype).at[0].set(beta1)
 
+    # plateau threshold: phibar is monotone nonincreasing; an iteration
+    # whose decrease rounds below 8·eps relative counts as stalled, and
+    # only ``stall_patience`` CONSECUTIVE stalls abort (a lone rounded
+    # f32 step on a clustered spectrum must not end the solve early)
+    stall_thresh = 1.0 - 8.0 * float(jnp.finfo(dtype).eps)
+
     def cond(carry):
-        y, u, v, w, alpha, beta, rhobar, phibar, phibar_prev, hist, it = \
-            carry
-        # stop on target, or on a hard plateau (phibar is monotone
-        # nonincreasing; once it stalls at the roundoff floor further
-        # iterations are pure waste)
-        stalled = phibar > (1.0 - 1e-9) * phibar_prev
+        (y, u, v, w, alpha, beta, rhobar, phibar, phibar_prev, stall,
+         hist, it) = carry
         return ((it < cfg.max_iters) & (phibar > cfg.tol * beta1)
-                & ~stalled)
+                & (stall < cfg.stall_patience))
 
     def body(carry):
-        y, u, v, w, alpha, beta, rhobar, phibar, phibar_prev, hist, it = \
-            carry
+        (y, u, v, w, alpha, beta, rhobar, phibar, phibar_prev, stall,
+         hist, it) = carry
         phibar_prev = phibar
         # bidiagonalization step
         u_raw = op(v) - alpha * u
@@ -95,12 +103,14 @@ def lsqr(A: jax.Array, b: jax.Array, M: jax.Array | None,
         y = y + (phi / jnp.maximum(rho, tiny)) * w
         w = v - (theta / jnp.maximum(rho, tiny)) * w
         hist = hist.at[it + 1].set(phibar)
+        stall = jnp.where(phibar > stall_thresh * phibar_prev,
+                          stall + 1, jnp.int32(0))
         return (y, u, v, w, alpha_new, beta, rhobar, phibar, phibar_prev,
-                hist, it + 1)
+                stall, hist, it + 1)
 
     carry = (y0, u, v, w, alpha, jnp.zeros((), dtype), alpha, beta1,
-             2.0 * beta1 + 1.0, hist0, jnp.int32(0))
-    (y, u, v, w, alpha, beta, rhobar, phibar, phibar_prev, hist,
+             2.0 * beta1 + 1.0, jnp.int32(0), hist0, jnp.int32(0))
+    (y, u, v, w, alpha, beta, rhobar, phibar, phibar_prev, stall, hist,
      it) = jax.lax.while_loop(cond, body, carry)
     x = y if M is None else jnp.matmul(M, y, precision=precision)
     return x, hist, it

@@ -35,11 +35,15 @@ def rf(A: jax.Array, k: int, cfg: RFConfig, state: RNGState,
     if cfg.cond_check and not rs_cfg.cond_check:
         import dataclasses as _dc
         rs_cfg = _dc.replace(rs_cfg, cond_check=True)
-    if cfg.cond_check:
-        from .rs import _cond_est
+    # unpack by rs_cfg's own arity: a caller may set RSConfig(cond_check=
+    # True) with RFConfig.cond_check False — rs then returns a 3-tuple
+    # whose conds rf simply drops
+    if rs_cfg.cond_check:
         omega, state, conds = rs(A, k, rs_cfg, state, precision)
     else:
         omega, state = rs(A, k, rs_cfg, state, precision)
+    if cfg.cond_check:
+        from .rs import _cond_est
     y = jnp.matmul(A, omega, precision=precision)
     if cfg.cond_check:
         conds = jnp.concatenate(

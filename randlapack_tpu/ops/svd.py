@@ -13,9 +13,10 @@ Accuracy model: the eigenVECTORS carry the Gram route's ~eps·(λ₁/gap)
 subspace error, but the singular VALUES are Rayleigh-refined (σᵢ = ‖Bvᵢ‖,
 one already-needed GEMM) to relative error ~eps·σ₁/σᵢ — an eps^½ → eps^¾
 extension of the reliable range at the √eps·σ₁ cutoff. Vectors for
-σ < √eps·σ₁ are zeroed. Ordering follows eigh's λ sort; refined values can
-be non-monotone within their error band. For f64 correctness-critical
-paths use ``method="xla"`` (LAPACK on CPU).
+σ < √eps·σ₁ are zeroed. Refined values are re-sorted descending (they can
+swap order within their error band vs eigh's λ sort, and downstream S[:k]
+truncations assume monotone s). For f64 correctness-critical paths use
+``method="xla"`` (LAPACK on CPU).
 """
 from __future__ import annotations
 
@@ -61,6 +62,10 @@ def svd_econ(B: jax.Array, method: str = "auto",
         # (relative eps·(σ₁/σᵢ)²) — one already-needed GEMM, no extra cost
         W = jnp.matmul(U.T, B, precision=precision)
         s = jnp.linalg.norm(W, axis=1)
+        # refined values can swap order within their error band vs eigh's
+        # λ sort — re-sort so downstream S[:k] truncations stay valid
+        ordr = jnp.argsort(-s, stable=True)
+        s, U, W = s[ordr], U[:, ordr], W[ordr, :]
         good = s > s[0] * jnp.sqrt(eps)
         s_safe = jnp.where(good, s, 1.0)
         Vt = W / s_safe[:, None]
@@ -71,6 +76,8 @@ def svd_econ(B: jax.Array, method: str = "auto",
     lam, V = lam[::-1], V[:, ::-1]
     W = jnp.matmul(B, V, precision=precision)
     s = jnp.linalg.norm(W, axis=0)   # Rayleigh-refined σ (see above)
+    ordr = jnp.argsort(-s, stable=True)     # see re-sort note above
+    s, V, W = s[ordr], V[:, ordr], W[:, ordr]
     good = s > s[0] * jnp.sqrt(eps)
     s_safe = jnp.where(good, s, 1.0)
     U = W / s_safe[None, :]

@@ -98,12 +98,11 @@ def saso_left_apply(S: SparseSkOp, A: jax.Array, scale: bool = True,
     * ``"gather"`` — CSR-by-output-row re-packing (one device sort), then
       L padded gather-FMA layers: out[r, :] += val·A[col, :] with cols
       *gathered*, never scattered — the TPU-friendly layout (SURVEY.md §7
-      "SASO on TPU"). Exact: the pad bound L covers the row-occupancy tail
-      and a small fixed overflow buffer (one tiny scatter) catches the
-      rest; overflow beyond that is statistically impossible for real
-      shapes (Binomial tail) and would only drop into the scatter path's
-      semantics via the returned values being wrong — so we size
-      L_over generously (4096).
+      "SASO on TPU"). Exact unconditionally: the pad bound L covers the
+      row-occupancy tail, a fixed overflow buffer (one tiny scatter,
+      l_over=4096) catches the rest, and the statistically-impossible
+      beyond-buffer case lax.cond-falls back to the exact scatter
+      formulation instead of silently dropping entries.
 
     ``"auto"`` → scatter: measured on TPU v5e (131072×2048, d=2560,
     nnz=2) scatter = 57.6 ms vs gather = 67.7 ms — current XLA lowers
@@ -119,17 +118,23 @@ def saso_left_apply(S: SparseSkOp, A: jax.Array, scale: bool = True,
     if method == "gather":
         out = _saso_left_gather(S, A, d, m, n)
     else:
-        out = jnp.zeros((d, n), dtype=A.dtype)
-
-        def layer(j, acc):
-            r = jax.lax.dynamic_index_in_dim(S.rows, j, 0, keepdims=False)
-            v = jax.lax.dynamic_index_in_dim(S.vals, j, 0, keepdims=False)
-            return acc.at[r].add(v[:, None] * A)
-
-        out = jax.lax.fori_loop(0, S.dist.vec_nnz, layer, out)
+        out = _saso_left_scatter(S, A, d, n)
     if scale:
         out = out * jnp.asarray(S.dist.isometry_scale, A.dtype)
     return out
+
+
+def _saso_left_scatter(S: SparseSkOp, A: jax.Array, d: int, n: int):
+    """Scatter-layer SASO apply — vec_nnz scatter-add passes over A.
+    Exact for any row occupancy (duplicate indices accumulate)."""
+    out = jnp.zeros((d, n), dtype=A.dtype)
+
+    def layer(j, acc):
+        r = jax.lax.dynamic_index_in_dim(S.rows, j, 0, keepdims=False)
+        v = jax.lax.dynamic_index_in_dim(S.vals, j, 0, keepdims=False)
+        return acc.at[r].add(v[:, None] * A)
+
+    return jax.lax.fori_loop(0, S.dist.vec_nnz, layer, out)
 
 
 def _saso_left_gather(S: SparseSkOp, A: jax.Array, d: int, m: int, n: int,
@@ -171,7 +176,18 @@ def _saso_left_gather(S: SparseSkOp, A: jax.Array, d: int, m: int, n: int,
     ov_c = jnp.where(ov_is, sc[oorder], 0)
     ov_v = jnp.where(ov_is, sv[oorder], 0.0)
     out = out.at[ov_r].add(ov_v[:, None] * A[ov_c, :], mode="drop")
-    return out
+
+    # overflow beyond l_over is statistically impossible (6σ Binomial
+    # tail + 4096 buffer) but must not be a SILENT wrong-sketch cliff:
+    # if it ever happens, recompute exactly via the scatter formulation
+    # (lax.cond executes only the taken branch, so the steady-state cost
+    # is one scalar comparison)
+    n_over = jnp.sum(~in_main)
+    return jax.lax.cond(
+        n_over <= l_over,
+        lambda args: args[0],
+        lambda args: _saso_left_scatter(S, args[1], d, n),
+        (out, A))
 
 
 def saso_right_apply(A: jax.Array, S: SparseSkOp, scale: bool = True):
