@@ -40,9 +40,16 @@ class PCGConfig:
                                   # rl_determiter.hh:428,466)
 
 
-@partial(jax.jit, static_argnames=("cfg", "precision"))
+def frobenius_seminorm(R: jax.Array):
+    """The reference's ``StatefulFrobeniusNorm`` measure
+    (rl_determiter.hh:140) minus the host-side history (pcg's returned
+    hist array carries it): ‖R‖_F over the whole block residual."""
+    return jnp.linalg.norm(R)
+
+
+@partial(jax.jit, static_argnames=("cfg", "precision", "seminorm"))
 def pcg(G, H: jax.Array, N, X0: jax.Array, cfg: PCGConfig,
-        precision=STABLE_PRECISION):
+        precision=STABLE_PRECISION, seminorm=None):
     """Preconditioned CG for G X = H (s columns).
 
     ``G``/``N`` are linops, callables, or dense arrays; ``N=None`` means no
@@ -51,9 +58,20 @@ def pcg(G, H: jax.Array, N, X0: jax.Array, cfg: PCGConfig,
     b×b scalar solves (classical block CG, faster for one operator with
     multiple right-hand sides).
 
+    ``seminorm`` (rl_determiter.hh:299-345): an optional jit-traceable
+    callable ``val = seminorm(R)`` mapping the (n, s) block residual to a
+    scalar — a problem seminorm (may be 0 on a fixed subspace). When given,
+    the reference's stopping rule replaces the per-column one: iterate
+    until ``seminorm(N·R) ≤ tol·(1 + seminorm(N·R₀))``, and the returned
+    hist is (max_iters+1, 2) holding the even/odd seminorm calls — column
+    0 the raw residual R, column 1 the preconditioned residual N·R (the
+    reference calls seminorm twice per iteration in exactly this order).
+    ``frobenius_seminorm`` reproduces StatefulFrobeniusNorm.
+
     Returns ``(X, res_hist, iters)``: res_hist (max_iters+1, s) of
     per-column residual norms (‖·‖₂; entries past convergence repeat the
-    final value), iters the iteration count actually performed.
+    final value) — or the (max_iters+1, 2) seminorm trace above —
+    and iters the iteration count actually performed.
     """
     n, s = H.shape
     dtype = H.dtype
@@ -63,20 +81,33 @@ def pcg(G, H: jax.Array, N, X0: jax.Array, cfg: PCGConfig,
     R = H - _apply(G, X0, precision)
     Z = _apply(N, R, precision)
     P = Z
-    hist0 = jnp.zeros((cfg.max_iters + 1, s), dtype)
-    hist0 = hist0.at[0].set(jnp.linalg.norm(R, axis=0))
+    if seminorm is None:
+        hist0 = jnp.zeros((cfg.max_iters + 1, s), dtype)
+        hist0 = hist0.at[0].set(jnp.linalg.norm(R, axis=0))
+        sn_stop = None
+    else:
+        sn_z0 = seminorm(Z)
+        sn_stop = jnp.asarray(cfg.tol, dtype) * (1.0 + sn_z0)
+        hist0 = jnp.zeros((cfg.max_iters + 1, 2), dtype)
+        hist0 = hist0.at[0, 0].set(seminorm(R)).at[0, 1].set(sn_z0)
 
     if cfg.mode == "lockstep":
         rho0 = jnp.sum(R * Z, axis=0)
 
         def cond(carry):
             X, R, Z, P, rho, hist, it = carry
+            if seminorm is not None:
+                return (it < cfg.max_iters) & (hist[it, 1] > sn_stop)
             return (it < cfg.max_iters) & jnp.any(
                 jnp.linalg.norm(R, axis=0) > tol_abs)
 
         def body(carry):
             X, R, Z, P, rho, hist, it = carry
-            active = (jnp.linalg.norm(R, axis=0) > tol_abs).astype(dtype)
+            if seminorm is None:
+                active = (jnp.linalg.norm(R, axis=0)
+                          > tol_abs).astype(dtype)
+            else:
+                active = jnp.ones((s,), dtype)   # global stop, no freeze
             W = _apply(G, P, precision)
             denom = jnp.sum(P * W, axis=0)
             alpha = jnp.where(denom != 0, rho / jnp.where(denom != 0, denom,
@@ -89,8 +120,13 @@ def pcg(G, H: jax.Array, N, X0: jax.Array, cfg: PCGConfig,
             beta = jnp.where(rho != 0, rho_new / jnp.where(rho != 0, rho, 1.0),
                              0.0) * active
             P = Z + P * beta[None, :]
-            res = jnp.linalg.norm(R, axis=0)
-            hist = hist.at[it + 1].set(res)
+            if seminorm is None:
+                res = jnp.linalg.norm(R, axis=0)
+                hist = hist.at[it + 1].set(res)
+            else:
+                res = seminorm(Z)
+                hist = hist.at[it + 1, 0].set(seminorm(R))
+                hist = hist.at[it + 1, 1].set(res)
             if cfg.verbose:
                 jax.debug.print("pcg iter {it}: max residual {r}",
                                 it=it + 1, r=jnp.max(res))
@@ -126,6 +162,8 @@ def pcg(G, H: jax.Array, N, X0: jax.Array, cfg: PCGConfig,
 
     def cond_b(carry):
         X, R, Z, P, rho, hist, it = carry
+        if seminorm is not None:
+            return (it < cfg.max_iters) & (hist[it, 1] > sn_stop)
         return (it < cfg.max_iters) & jnp.any(
             jnp.linalg.norm(R, axis=0) > tol_abs)
 
@@ -139,8 +177,13 @@ def pcg(G, H: jax.Array, N, X0: jax.Array, cfg: PCGConfig,
         rho_new = jnp.matmul(R.T, Z, precision=precision)
         beta = _psd_solve(rho, rho_new)
         P = Z + jnp.matmul(P, beta, precision=precision)
-        res = jnp.linalg.norm(R, axis=0)
-        hist = hist.at[it + 1].set(res)
+        if seminorm is None:
+            res = jnp.linalg.norm(R, axis=0)
+            hist = hist.at[it + 1].set(res)
+        else:
+            res = seminorm(Z)
+            hist = hist.at[it + 1, 0].set(seminorm(R))
+            hist = hist.at[it + 1, 1].set(res)
         if cfg.verbose:
             jax.debug.print("pcg(block) iter {it}: max residual {r}",
                             it=it + 1, r=jnp.max(res))
@@ -149,6 +192,36 @@ def pcg(G, H: jax.Array, N, X0: jax.Array, cfg: PCGConfig,
     X, R, Z, P, rho, hist, it = jax.lax.while_loop(
         cond_b, body_b, (X0, R, Z, P, rho0, hist0, jnp.int32(0)))
     return X, hist, it
+
+
+@partial(jax.jit, static_argnames=())
+def psd_sqrt_pinv(A: jax.Array):
+    """Square-root pseudo-inverse factor of a symmetric PSD matrix
+    (reference: rl_determiter.hh:181 ``psd_sqrt_pinv``): B with
+    pinv(A) = B·Bᵀ via eigendecomposition, kernel eigenvectors zeroed.
+
+    Returns ``(B, ker_dim, code)`` — B (n, n) with the trailing
+    ``ker_dim`` concept flipped into zeroed columns (static shapes),
+    ker_dim = dim(ker A) as int32, and ``code`` the jit-safe analogue of
+    the reference's return value: ker_dim when A is PSD, −(n+1) when A is
+    not PSD (λ_min < −tol), −(n+2) when A ≈ 0 — a returned flag, never an
+    exception, per the repo's failure convention.
+    """
+    n = A.shape[0]
+    dtype = A.dtype
+    w, U = jnp.linalg.eigh(0.5 * (A + A.T))
+    rel_tol = 10.0 * jnp.finfo(dtype).eps
+    abs_tol = rel_tol * jnp.maximum(jnp.asarray(1.0, dtype), w[-1])
+    not_psd = w[0] < -abs_tol
+    is_zero = w[-1] < abs_tol
+    keep = w > abs_tol
+    ker = jnp.asarray(n, jnp.int32) - jnp.sum(keep).astype(jnp.int32)
+    scale = jnp.where(keep, 1.0 / jnp.sqrt(jnp.where(keep, w, 1.0)), 0.0)
+    B = U * scale[None, :]
+    code = jnp.where(not_psd, jnp.int32(-(n + 1)),
+                     jnp.where(is_zero, jnp.int32(-(n + 2)),
+                               ker))
+    return B, ker, code
 
 
 @dataclasses.dataclass(frozen=True)

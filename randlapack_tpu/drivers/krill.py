@@ -23,6 +23,12 @@ class KrillConfig:
     k: int | None = None          # preconditioner rank (None → ~√n)
     rpchol_block: int = 64
     pcg: PCGConfig = PCGConfig(tol=1e-8, max_iters=200)
+    seminorm: object = None       # optional problem seminorm callable
+                                  # val = seminorm(R) routed to pcg
+                                  # (rl_determiter.hh:299-345) — the
+                                  # convergence metric then becomes
+                                  # seminorm(N·R) ≤ tol·(1+seminorm(N·R₀))
+                                  # and hist holds the seminorm trace
 
 
 def krill_full_rpchol(G, H: jax.Array, mus, cfg: KrillConfig,
@@ -54,7 +60,8 @@ def krill_full_rpchol(G, H: jax.Array, mus, cfg: KrillConfig,
     P = SpectralPrecond.prep(V, lam, mus_arr)
     G_reg = G.with_reg(True)
     X0 = jnp.zeros_like(H)
-    X, hist, iters = pcg(G_reg, H, P, X0, cfg.pcg, precision)
+    X, hist, iters = pcg(G_reg, H, P, X0, cfg.pcg, precision,
+                         seminorm=cfg.seminorm)
     return X, hist, iters, state
 
 

@@ -121,3 +121,99 @@ class TestSpectralPrecondEffect:
         _, _, it_pre = pcg(G, H, P, jnp.zeros_like(H), cfgp)
         _, _, it_no = pcg(G, H, None, jnp.zeros_like(H), cfgp)
         assert int(it_pre) < int(it_no)
+
+
+class TestSeminormHook:
+    """rl_determiter.hh:299-345 — caller-pluggable seminorm stopping."""
+
+    def _system(self, s=3, n=64, dtype=jnp.float64):
+        rng = np.random.default_rng(7)
+        Q = rng.standard_normal((n, n))
+        G = jnp.asarray(Q @ Q.T + 10 * np.eye(n), dtype)
+        H = jnp.asarray(rng.standard_normal((n, s)), dtype)
+        return G, H
+
+    def test_frobenius_seminorm_converges_both_modes(self):
+        from randlapack_tpu.comps import frobenius_seminorm
+        G, H = self._system()
+        for mode in ("lockstep", "block"):
+            cfg = PCGConfig(tol=1e-9, max_iters=300, mode=mode)
+            X, hist, it = pcg(G, H, None, jnp.zeros_like(H), cfg,
+                              seminorm=frobenius_seminorm)
+            rel = float(jnp.linalg.norm(G @ X - H) / jnp.linalg.norm(H))
+            assert rel < 1e-7, (mode, rel)
+            # hist carries the even/odd seminorm trace: (it, 2)
+            assert hist.shape[1] == 2
+            # raw-residual column must match a recomputed Frobenius norm
+            # at iteration 0 (R0 = H for X0 = 0)
+            np.testing.assert_allclose(float(hist[0, 0]),
+                                       float(jnp.linalg.norm(H)),
+                                       rtol=1e-12)
+            assert int(it) < cfg.max_iters
+
+    def test_custom_seminorm_stops_on_subspace(self):
+        # seminorm that ignores the first row: convergence is measured in
+        # the quotient — a genuinely semidefinite measure
+        G, H = self._system()
+
+        def semi(R):
+            return jnp.linalg.norm(R[1:, :])
+
+        cfg = PCGConfig(tol=1e-8, max_iters=300)
+        X, hist, it = pcg(G, H, None, jnp.zeros_like(H), cfg,
+                          seminorm=semi)
+        R = H - G @ X
+        assert float(semi(R)) / float(jnp.linalg.norm(H)) < 1e-6
+
+
+class TestPsdSqrtPinv:
+    """rl_determiter.hh:181 — pinv(A) = B·Bᵀ factor with kernel count."""
+
+    def test_rank_deficient(self):
+        from randlapack_tpu.comps import psd_sqrt_pinv
+        rng = np.random.default_rng(0)
+        M = rng.standard_normal((8, 5))
+        A = jnp.asarray(M @ M.T)
+        B, ker, code = psd_sqrt_pinv(A)
+        assert int(ker) == 3 and int(code) == 3
+        pinv = np.linalg.pinv(np.asarray(A), rcond=1e-10)
+        np.testing.assert_allclose(np.asarray(B @ B.T), pinv, atol=1e-8
+                                   * np.linalg.norm(pinv))
+
+    def test_flags(self):
+        from randlapack_tpu.comps import psd_sqrt_pinv
+        n = 5
+        _, _, c_neg = psd_sqrt_pinv(jnp.asarray(-np.eye(n)))
+        assert int(c_neg) == -(n + 1)
+        _, _, c_zero = psd_sqrt_pinv(jnp.zeros((n, n)))
+        assert int(c_zero) == -(n + 2)
+
+    def test_full_rank_inverse(self):
+        from randlapack_tpu.comps import psd_sqrt_pinv
+        rng = np.random.default_rng(3)
+        M = rng.standard_normal((6, 6))
+        A = jnp.asarray(M @ M.T + 6 * np.eye(6))
+        B, ker, code = psd_sqrt_pinv(A)
+        assert int(ker) == 0 and int(code) == 0
+        np.testing.assert_allclose(np.asarray(B @ B.T),
+                                   np.linalg.inv(np.asarray(A)), atol=1e-10)
+
+
+class TestKrillSeminorm:
+    def test_krill_seminorm_convergence(self):
+        from randlapack_tpu.comps import frobenius_seminorm
+        from randlapack_tpu.drivers import KrillConfig, krill_full_rpchol
+        from randlapack_tpu.linops.symmetric import RegExplicitSymLinOp
+        lam = gen_exp_singvals(96, 1e4, jnp.float64)
+        K, _ = psd_from_eigvals(96, lam, RNGState(4))
+        mu = 1e-3
+        G = RegExplicitSymLinOp(K, jnp.asarray([mu], jnp.float64))
+        H = jax.random.normal(jax.random.key(2), (96, 1), dtype=jnp.float64)
+        cfg = KrillConfig(k=32, rpchol_block=16,
+                          pcg=PCGConfig(tol=1e-8, max_iters=200),
+                          seminorm=frobenius_seminorm)
+        X, hist, it, _ = krill_full_rpchol(G, H, mu, cfg, RNGState(5))
+        rel = float(jnp.linalg.norm((K + mu * jnp.eye(96)) @ X - H)
+                    / jnp.linalg.norm(H))
+        assert rel < 1e-6
+        assert hist.shape[1] == 2 and int(it) < 200
