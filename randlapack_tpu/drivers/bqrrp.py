@@ -89,6 +89,56 @@ class BQRRPConfig:
                                   # WY trailing update through the fused
                                   # Pallas kernels (ops/pallas_wy.py) on
                                   # TPU when shapes divide; "never" = jnp
+    update_defer: int = 1         # factored form only: aggregate this many
+                                  # consecutive blocks' rank-b trailing
+                                  # updates (the thin-k V·Z GEMMs, the
+                                  # measured loop bottleneck at b=512) and
+                                  # apply them as ONE k = defer·b GEMM.
+                                  # Panel math stays at block_size — the
+                                  # within-group corrections are lazy
+                                  # low-rank terms (classic left-looking
+                                  # blocked-Householder restructuring;
+                                  # FLOP overhead ~2·m·b²·defer per group,
+                                  # repaid by the wide-k GEMM shape)
+
+
+def _lu_pivots_unavailable(dtype):
+    """XLA's TPU LU kernel is f32-only: under ``jax_enable_x64`` the
+    lowering silently degrades (or fails) instead of computing f64
+    pivots. Detected at trace time; BQRRP then routes pivot selection
+    through the Householder QRCP panel (``ops.qr.qrcp_select_pivots`` —
+    the HQRRP selection kernel), keeping the driver correct in x64 at a
+    pivot-selection speed penalty (documented CLAUDE.md caveat, now
+    code)."""
+    return dtype == jnp.float64 and jax.default_backend() not in ("cpu",)
+
+
+def _select_pivots(Y_m, b, retired, cfg: BQRRPConfig, dtype, precision):
+    """The per-block qrcp_wide pivot pass: LU partial pivoting on the
+    masked sketch (rl_bqrrp.hh luqr), optionally restricted to top-norm
+    candidate columns; Householder QRCP when TPU LU can't do the dtype."""
+    n = Y_m.shape[1]
+    live = 1.0 - retired
+    if _lu_pivots_unavailable(dtype):
+        from ..ops.qr import qrcp_select_pivots
+        if cfg.pivot_candidates is not None:
+            n_cand = min(n, cfg.pivot_candidates * b)
+            norms2 = jnp.sum(Y_m * Y_m, axis=0)
+            _, cand = jax.lax.top_k(norms2, n_cand)
+            sub = jnp.take(Y_m, cand, axis=1)
+            sub_chosen = qrcp_select_pivots(
+                sub, b, jnp.ones((n_cand,), dtype), precision)
+            return jnp.take(cand, sub_chosen)
+        return qrcp_select_pivots(Y_m, b, live, precision)
+    if cfg.pivot_candidates is not None:
+        n_cand = min(n, cfg.pivot_candidates * b)
+        norms2 = jnp.sum(Y_m * Y_m, axis=0)
+        _, cand = jax.lax.top_k(norms2, n_cand)
+        sub = jnp.take(Y_m, cand, axis=1)
+        _, _, perm_sub = jax.lax.linalg.lu(sub.T)
+        return jnp.take(cand, perm_sub[:b])
+    _, _, perm_lu = jax.lax.linalg.lu(Y_m.T)
+    return perm_lu[:b]
 
 
 def _fix_pivots(chosen, retired):
@@ -170,16 +220,7 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
         # -- qrcp_wide: LU pivots on the masked live sketch ---------------
         live = 1.0 - retired
         A_sk_m = A_sk * live[None, :]
-        if cfg.pivot_candidates is not None:
-            n_cand = min(w, cfg.pivot_candidates * b)
-            norms2 = jnp.sum(A_sk_m * A_sk_m, axis=0)
-            _, cand = jax.lax.top_k(norms2, n_cand)
-            sub = jnp.take(A_sk_m, cand, axis=1)        # (d, n_cand)
-            _, _, perm_sub = jax.lax.linalg.lu(sub.T)
-            chosen = jnp.take(cand, perm_sub[:b])
-        else:
-            _, _, perm_lu = jax.lax.linalg.lu(A_sk_m.T)
-            chosen = perm_lu[:b]
+        chosen = _select_pivots(A_sk_m, b, retired, cfg, dtype, precision)
         chosen = _fix_pivots(chosen, retired)
 
         # -- panel QR: sketch-preconditioned CholQR -----------------------
@@ -428,15 +469,31 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
     ``A``/``Y``/``J_loc`` are the window slabs (columns [g0:n) of the
     global problem); ``c0``/``tidx0`` the global row offset / T-slot
     base; ``bsz`` the block width (the remainder stage passes r < b).
-    Returns the permuted slabs."""
+    Returns the permuted slabs.
+
+    ``cfg.update_defer = g > 1`` restructures the loop left-looking:
+    blocks run in groups of g; within a group the rank-b ``V·(TᵀW)``
+    trailing GEMMs (thin-k, the measured bottleneck) are NOT applied —
+    each block's panel/W/R12 reads the stale A plus an exact low-rank
+    correction through the group aggregates (V_g, U_g), and the group
+    ends with ONE k = g·b masked GEMM. Identical math to the eager loop
+    (the corrections are exact, not approximations), better MXU shapes.
+    """
+    from ..ops.pallas_wy import (masked_vt_a_routed,
+                                 a_minus_vz_masked_routed)
     m, n = A.shape
     b = bsz
     dtype = A.dtype
     rows = jnp.arange(m)
     order = jnp.zeros((nblocks * b,), jnp.int32)
     retired = jnp.zeros((n,), dtype)
+    _pallas = ("never" if cfg.shard_axis is not None
+               else cfg.pallas_trailing)
 
-    def block(i, carry):
+    def subblock(i, j, Vg, Ug, carry):
+        """Block ``i`` (traced stage-local index) in group slot ``j``
+        (static). Appends this block's (V, U = Tᵀ·W) to the group
+        aggregates instead of applying the rank-b update."""
         A, Y, Vall, Ts, order, retired, fail = carry
         c = c0 + i * b
         live = 1.0 - retired
@@ -449,20 +506,14 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
 
         # -- qrcp_wide: LU pivots on the masked live sketch -------------
         Y_m = Y * live[None, :]
-        if cfg.pivot_candidates is not None:
-            n_cand = min(n, cfg.pivot_candidates * b)
-            norms2 = jnp.sum(Y_m * Y_m, axis=0)
-            _, cand = jax.lax.top_k(norms2, n_cand)
-            sub = jnp.take(Y_m, cand, axis=1)
-            _, _, perm_sub = jax.lax.linalg.lu(sub.T)
-            chosen = jnp.take(cand, perm_sub[:b])
-        else:
-            _, _, perm_lu = jax.lax.linalg.lu(Y_m.T)
-            chosen = perm_lu[:b]
+        chosen = _select_pivots(Y_m, b, retired, cfg, dtype, precision)
         chosen = _fix_pivots(chosen, retired)
 
-        # -- panel QR at row offset c -----------------------------------
+        # -- panel QR at row offset c (lazily-corrected true panel) ------
         panel = jnp.take(A, chosen, axis=1)
+        if j > 0:
+            panel = panel - jnp.matmul(
+                Vg, jnp.take(Ug, chosen, axis=1), precision=precision)
         panel_m = jnp.where(rows[:, None] >= c, panel, 0.0)
         Ysk_p = jnp.take(Y, chosen, axis=1)
         if cfg.qr_tall == QRTall.hqr:
@@ -511,20 +562,29 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
         Rpad = jax.lax.dynamic_update_slice(Rpad, Rsigned, (c, 0))
         A = A.at[:, chosen].set(jnp.where(rows[:, None] < c, panel, 0.0)
                                 + Rpad)
-
-        # -- WY trailing update on remaining live columns ---------------
         live2 = live.at[chosen].set(0.0)
-        from ..ops.pallas_wy import trailing_wy_update
-        _pallas = ("never" if cfg.shard_axis is not None
-                   else cfg.pallas_trailing)
-        A = trailing_wy_update(A, V, T, live2, precision,
-                               use_pallas=_pallas)
+
+        # -- W = Vᵀ·(A_true ⊙ live2); U = Tᵀ·W (update stays deferred) --
+        W = masked_vt_a_routed(V, A, live2, precision, _pallas)
+        if j > 0:
+            W = W - jnp.matmul(
+                jnp.matmul(V.T, Vg, precision=precision),
+                Ug * live2[None, :], precision=precision)
+        U = jnp.matmul(T.T, W, precision=precision)
+
+        # -- R12 = rows c:c+b of the true post-update A, on live cols ---
+        R12 = jax.lax.dynamic_slice(A, (c, 0), (b, n))
+        if j > 0:
+            Vg_rows = jax.lax.dynamic_slice(Vg, (c, 0), (b, Vg.shape[1]))
+            R12 = R12 - jnp.matmul(Vg_rows, Ug, precision=precision)
+        V_rows = jax.lax.dynamic_slice(V, (c, 0), (b, b))
+        R12 = (R12 - jnp.matmul(V_rows, U, precision=precision)
+               ) * live2[None, :]
 
         # -- exact sketch downdate: B = Y_panel·R11⁻¹·S -----------------
         B = jax.lax.linalg.triangular_solve(
             _safe_triu_diag(R11, dtype), Ysk_p,
             left_side=False, lower=False) * s[None, :]
-        R12 = jax.lax.dynamic_slice(A, (c, 0), (b, n)) * live2[None, :]
         Y = Y - jnp.matmul(B, R12, precision=precision) * live2[None, :]
 
         # -- commit ------------------------------------------------------
@@ -537,11 +597,35 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
         Ts = jax.lax.dynamic_update_slice(Ts, Tpad[None], (tidx0 + i, 0, 0))
         order = jax.lax.dynamic_update_slice(order, chosen, (i * b,))
         retired = retired.at[chosen].set(1.0)
-        return A, Y, Vall, Ts, order, retired, fail
+        Vg = V if j == 0 else jnp.concatenate([Vg, V], axis=1)
+        Ug = U if j == 0 else jnp.concatenate([Ug, U], axis=0)
+        return Vg, Ug, (A, Y, Vall, Ts, order, retired, fail)
 
+    def make_group(g, off):
+        """A fori body processing g consecutive blocks (slots unrolled,
+        so each slot's aggregate shapes are static) then applying their
+        combined update as one masked k = g·b GEMM. Columns retired
+        inside the group were written final values from lazily-corrected
+        panels and are excluded by the end-of-group live mask."""
+        def group(gi, carry):
+            i0 = off + gi * g
+            Vg = Ug = None
+            for j in range(g):
+                Vg, Ug, carry = subblock(i0 + j, j, Vg, Ug, carry)
+            A, Y, Vall, Ts, order, retired, fail = carry
+            live_end = 1.0 - retired
+            A = a_minus_vz_masked_routed(A, Vg, Ug, live_end, precision,
+                                         _pallas)
+            return (A, Y, Vall, Ts, order, retired, fail)
+        return group
+
+    g = max(1, min(int(cfg.update_defer), nblocks))
+    ngroups, grem = divmod(nblocks, g)
     carry = (A, Y, Vall, Ts, order, retired, fail)
-    A, Y, Vall, Ts, order, retired, fail = jax.lax.fori_loop(
-        0, nblocks, block, carry)
+    carry = jax.lax.fori_loop(0, ngroups, make_group(g, 0), carry)
+    if grem:
+        carry = make_group(grem, ngroups * g)(0, carry)
+    A, Y, Vall, Ts, order, retired, fail = carry
 
     # stage-end permutation: pivots to the window front in selection
     # order; the rest keep relative order for the next (narrower) stage

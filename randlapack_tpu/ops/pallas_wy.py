@@ -114,6 +114,35 @@ def a_minus_vz_masked(A: jax.Array, V: jax.Array, Z: jax.Array,
     )(A, V, Z, mask2)
 
 
+def _route(m, w, b, use_pallas, interpret):
+    # b > 512 (e.g. update_defer aggregates) exceeds the kernels' scoped
+    # VMEM at the 512×512 tiling (measured: 20.2M > 16M at b=1024) — XLA
+    # fuses the mask equally well there (round-2 measurement), so route
+    # wide aggregates to the jnp path instead of shrinking tiles
+    ok = _divisible(m, w, b, 512, 512) and b <= 512
+    on_tpu = jax.default_backend() not in ("cpu",)
+    return not (use_pallas == "never" or not ok
+                or (not on_tpu and not interpret))
+
+
+def masked_vt_a_routed(V, A, mask, precision=HP, use_pallas="auto",
+                       interpret: bool = False):
+    """Wk = Vᵀ·(A ⊙ mask), Pallas when shapes divide on TPU else jnp."""
+    m, b = V.shape
+    if _route(m, A.shape[1], b, use_pallas, interpret):
+        return masked_vt_a(V, A, mask, interpret=interpret)
+    return masked_vt_a_reference(V, A, mask, precision)
+
+
+def a_minus_vz_masked_routed(A, V, Z, mask, precision=HP, use_pallas="auto",
+                             interpret: bool = False):
+    """A − (V·Z) ⊙ mask, Pallas when shapes divide on TPU else jnp."""
+    m, b = V.shape
+    if _route(m, A.shape[1], b, use_pallas, interpret):
+        return a_minus_vz_masked(A, V, Z, mask, interpret=interpret)
+    return a_minus_vz_masked_reference(A, V, Z, mask, precision)
+
+
 def trailing_wy_update(A, V, T, mask, precision=HP, use_pallas="auto",
                        interpret: bool = False):
     """The full fused trailing update: A ← A − V·(Tᵀ·(Vᵀ·(A⊙mask)))⊙mask.

@@ -226,3 +226,64 @@ class TestBQRRPQMethods:
         Qk = bqrrp_q(fac, k=50, method="tree")
         np.testing.assert_allclose(np.asarray(Qk), np.asarray(Qs[:, :50]),
                                    atol=1e-13)
+
+
+class TestUpdateDefer:
+    """Left-looking aggregated trailing updates (update_defer > 1) must be
+    exactly equivalent math to the eager loop — the within-group lazy
+    corrections are exact low-rank algebra, not approximations."""
+
+    @pytest.mark.parametrize("defer,stages", [(2, 1), (4, 1), (3, 1),
+                                              (2, 2), (4, 2)])
+    def test_matches_eager_quality(self, defer, stages):
+        A, _ = mat_gen(MatGenInfo(384, 320, MatType.polynomial,
+                                  cond_num=1e7), RNGState(11),
+                       dtype=jnp.float64)
+        cfg = BQRRPConfig(block_size=64, update_defer=defer, stages=stages,
+                          pivot_candidates=3)
+        fac, _ = bqrrp_factored(A, cfg, RNGState(5))
+        Q = bqrrp_q(fac)
+        K = min(A.shape)
+        res = float(jnp.linalg.norm(Q @ fac.R - jnp.take(A, fac.J, axis=1))
+                    / jnp.linalg.norm(A))
+        orth = float(jnp.linalg.norm(Q.T @ Q - jnp.eye(K)))
+        assert res < 1e-13 and orth < 1e-12, (defer, stages, res, orth)
+        assert not bool(fac.fail)
+
+    def test_defer_non_divisible_blocks(self):
+        # 5 blocks with defer=4 exercises the remainder group
+        A, _ = mat_gen(MatGenInfo(320, 320, MatType.exponential,
+                                  cond_num=1e5), RNGState(3),
+                       dtype=jnp.float64)
+        cfg = BQRRPConfig(block_size=64, update_defer=4)
+        fac, _ = bqrrp_factored(A, cfg, RNGState(6))
+        Q = bqrrp_q(fac)
+        res = float(jnp.linalg.norm(Q @ fac.R - jnp.take(A, fac.J, axis=1))
+                    / jnp.linalg.norm(A))
+        assert res < 1e-13
+
+
+class TestF64PivotRoute:
+    """x64 auto-route: when XLA's LU can't do the dtype (TPU), pivot
+    selection switches to the Householder QRCP — simulated here by
+    monkeypatching the detector."""
+
+    def test_householder_pivot_route(self, monkeypatch):
+        import importlib
+        bq = importlib.import_module("randlapack_tpu.drivers.bqrrp")
+        monkeypatch.setattr(bq, "_lu_pivots_unavailable",
+                            lambda dtype: True)
+        A, _ = mat_gen(MatGenInfo(256, 256, MatType.exponential,
+                                  cond_num=1e8), RNGState(13),
+                       dtype=jnp.float64)
+        for cand in (None, 2):
+            cfg = BQRRPConfig(block_size=64, pivot_candidates=cand)
+            fac, _ = bqrrp_factored(A, cfg, RNGState(7))
+            Q = bqrrp_q(fac)
+            res = float(jnp.linalg.norm(Q @ fac.R
+                                        - jnp.take(A, fac.J, axis=1))
+                        / jnp.linalg.norm(A))
+            assert res < 1e-13, (cand, res)
+            # pivot quality: leading |R| diagonal reflects the decay
+            dg = np.abs(np.asarray(jnp.diag(fac.R)))
+            assert dg[0] > dg[-1]

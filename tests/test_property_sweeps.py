@@ -140,3 +140,95 @@ class TestTransformComposition:
         fd = (loss(A0 + e * d) - loss(A0 - e * d)) / (2 * e)
         assert abs(float(fd) - float(jnp.sum(gr * d))) < 1e-4 * max(
             abs(float(fd)), 1.0)
+
+
+class TestDeferSweep:
+    """Round-3 fuzz: left-looking aggregated updates (update_defer) and
+    the x64 Householder pivot route across random config boundaries —
+    exactly the config-boundary territory the earlier sweeps found 7
+    real bugs in."""
+
+    def test_defer_pivot_route_grid(self, monkeypatch):
+        import importlib
+        from randlapack_tpu.drivers import (BQRRPConfig, bqrrp_factored,
+                                            bqrrp_q)
+        bq = importlib.import_module("randlapack_tpu.drivers.bqrrp")
+        orig = bq._lu_pivots_unavailable
+        rng = random.Random(3)
+        mts = [MatType.polynomial, MatType.exponential, MatType.gaussian]
+        for trial in range(10):
+            m = rng.choice([65, 128, 200, 256])
+            n = rng.choice([48, 96, 130, 192])
+            b = rng.choice([16, 32, 48])
+            defer = rng.choice([1, 2, 3, 4, 5])
+            hh_route = rng.random() < 0.5
+            monkeypatch.setattr(bq, "_lu_pivots_unavailable",
+                                (lambda dt: True) if hh_route else orig)
+            A, st = mat_gen(MatGenInfo(m, n, rng.choice(mts),
+                                       cond_num=10 ** rng.choice([2, 6])),
+                            RNGState(100 + trial))
+            cfg = BQRRPConfig(
+                block_size=b, update_defer=defer,
+                stages=rng.choice([1, 2]),
+                pivot_candidates=rng.choice([None, 2, 4]))
+            fac, _ = bqrrp_factored(A, cfg, st)
+            Q = bqrrp_q(fac)
+            AJ = jnp.take(A, fac.J, axis=1)
+            res = float(jnp.linalg.norm(
+                jnp.matmul(Q, fac.R, precision=hp) - AJ)
+                / max(float(jnp.linalg.norm(A)), 1e-300))
+            assert sorted(np.asarray(fac.J).tolist()) == list(range(n)), \
+                (trial, defer, hh_route)
+            assert bool(fac.fail) or res < 1e-10, \
+                (trial, m, n, b, defer, hh_route, res)
+
+
+class TestDistSweep:
+    """Round-3 fuzz: distributed drivers over random sub-mesh sizes."""
+
+    def test_dist_driver_grid(self):
+        import pytest as _pt
+        if len(jax.devices()) < 8:
+            _pt.skip("needs 8 virtual devices")
+        from jax.sharding import Mesh
+        from randlapack_tpu.parallel import (dist_abrik, dist_bqrrp,
+                                             dist_bqrrp_factored,
+                                             dist_cqrrpt)
+        from randlapack_tpu.drivers import bqrrp_q
+        rng = random.Random(5)
+        for trial in range(6):
+            p = rng.choice([2, 4, 8])
+            mesh = Mesh(np.array(jax.devices()[:p]).reshape(p), ("rows",))
+            m = rng.choice([16, 24, 32]) * p
+            n = rng.choice([32, 48, 64])
+            A, st = mat_gen(MatGenInfo(m, n, MatType.exponential,
+                                       cond_num=10 ** rng.choice([2, 5])),
+                            RNGState(200 + trial))
+            drv = rng.choice(["bqrrp", "factored", "cqrrpt", "abrik"])
+            if drv == "abrik":
+                # with excess Krylov room (q·b = 32 > k = 8) the leading
+                # values resolve; basis orthogonality holds regardless
+                U, S, Vt, info, _ = dist_abrik(A, 8, mesh, st,
+                                               block_size=8, max_iters=4)
+                sv = np.linalg.svd(np.asarray(A), compute_uv=False)
+                np.testing.assert_allclose(np.asarray(S[:2]), sv[:2],
+                                           rtol=1e-3)
+                orth_u = float(jnp.linalg.norm(
+                    jnp.matmul(U.T, U, precision=hp) - jnp.eye(8)))
+                assert orth_u < 1e-10, (trial, p, orth_u)
+                continue
+            if drv == "bqrrp":
+                Q, R, J, rank, fail, _ = dist_bqrrp(A, mesh, st,
+                                                    block_size=16)
+            elif drv == "factored":
+                fac, _ = dist_bqrrp_factored(A, mesh, st, block_size=16)
+                with jax.sharding.set_mesh(mesh):
+                    Q = bqrrp_q(fac)
+                R, J, fail = fac.R, fac.J, fac.fail
+            else:
+                Q, R, J, rank, fail, _ = dist_cqrrpt(A, mesh, st)
+            AJ = jnp.take(A, J, axis=1)
+            res = float(jnp.linalg.norm(
+                jnp.matmul(Q, R[:Q.shape[1]], precision=hp) - AJ)
+                / max(float(jnp.linalg.norm(A)), 1e-300))
+            assert bool(fail) or res < 1e-9, (trial, drv, p, m, n, res)
