@@ -44,6 +44,48 @@ class ABRIKConfig:
     max_iters: int = 10           # q: Krylov space dimension = q·b
     reorth_passes: int = 2        # full re-orthogonalization passes
     svd_method: str = "auto"      # band-factor SVD (see ops.svd.svd_econ)
+    qr_explicit: str = "geqrf"    # inner tall-QR subroutine
+                                  # (rl_abrik.hh:38-40 QR_explicit):
+                                  # "geqrf" = Householder qr_econ;
+                                  # "cqrrt" = Gaussian-sketch
+                                  # preconditioned CholQR (the
+                                  # CQRRT->call route, :311-348) — one
+                                  # Gram GEMM instead of a Householder
+                                  # chain, with qr_econ rescue on
+                                  # Cholesky breakdown
+    d_factor: float = 1.25        # cqrrt sketch rows = d_factor·b
+    shard_axis: str | None = None # mesh axis to row-shard the m-sided
+                                  # factors over (set by dist_abrik):
+                                  # A·V stays local, Aᵀ·U and the inner
+                                  # Grams psum. Requires
+                                  # qr_explicit="cqrrt" so the m-sided
+                                  # QRs are Gram-based (Householder QR
+                                  # of a sharded operand would gather)
+
+
+def _qr_explicit(W, key, cfg: ABRIKConfig, precision):
+    """Inner tall-QR dispatch (rl_abrik.hh:311-348): geqrf → qr_econ;
+    cqrrt → Gaussian-sketch preconditioned CholQR with a qr_econ rescue
+    when the Cholesky breaks (deficient/frozen blocks)."""
+    if cfg.qr_explicit == "geqrf":
+        return qr_econ(W)
+    import math as _math
+    mloc, bloc = W.shape
+    dtype = W.dtype
+    d = min(mloc, int(_math.ceil(cfg.d_factor * bloc)))
+    S = jax.random.normal(key, (d, mloc), dtype) / jnp.sqrt(
+        jnp.asarray(float(d), dtype))
+    Wsk = jnp.matmul(S, W, precision=precision)
+    _, R_sk = qr_econ(Wsk)
+    eps = jnp.finfo(dtype).eps
+    dg = jnp.diag(R_sk)
+    ref = jnp.max(jnp.abs(dg)) * eps + eps
+    R_sk = R_sk - jnp.diag(dg) + jnp.diag(jnp.where(jnp.abs(dg) > ref,
+                                                    dg, ref))
+    from ..ops.cholqr import preconditioned_cholqr
+    Q, R, failq = preconditioned_cholqr(W, R_sk, precision)
+    return jax.lax.cond(failq, lambda w, q, r: qr_econ(w),
+                        lambda w, q, r: (q, r), W, Q, R)
 
 
 @partial(jax.jit, static_argnames=("cfg", "precision"))
@@ -68,7 +110,13 @@ def abrik_factor(A, state: RNGState, cfg: ABRIKConfig,
     V1raw = jax.random.normal(key, (n, b), dtype=dtype)
     V1, _ = qr_econ(V1raw)
     Z1 = _matmat(A, V1, precision)
-    U1, R1 = qr_econ(Z1)
+    if cfg.qr_explicit == "geqrf":
+        qr_keys = None
+        U1, R1 = qr_econ(Z1)
+    else:
+        kq, state = state.spawn()
+        qr_keys = jax.random.split(kq, 2 * q)
+        U1, R1 = _qr_explicit(Z1, qr_keys[0], cfg, precision)
 
     U = jnp.zeros((m, K), dtype).at[:, :b].set(U1)
     V = jnp.zeros((n, K), dtype).at[:, :b].set(V1)
@@ -90,8 +138,16 @@ def abrik_factor(A, state: RNGState, cfg: ABRIKConfig,
                                precision=precision)
         return W
 
+    def _row_sh(X):
+        if cfg.shard_axis is None:
+            return X
+        from jax.sharding import PartitionSpec as _P
+        return jax.lax.with_sharding_constraint(X, _P(cfg.shard_axis,
+                                                      None))
+
     def body(j, carry):
         U, V, B, capture, stopped = carry
+        U = _row_sh(U)
         c = j * b
         # current blocks U_j, V_j live at columns [(j-1)b, jb)
         Uj = jax.lax.dynamic_slice(U, (0, (j - 1) * b), (m, b))
@@ -103,14 +159,26 @@ def abrik_factor(A, state: RNGState, cfg: ABRIKConfig,
                                                     precision=precision)
         W = reorth(W, V)
         stopped = stopped | (jnp.linalg.norm(W) < tol_bd)
-        Vn, L = qr_econ(W)
+        if qr_keys is None:
+            Vn, L = qr_econ(W)
+        else:
+            Vn, L = _qr_explicit(
+                W, jax.lax.dynamic_index_in_dim(qr_keys, 2 * j, 0,
+                                                keepdims=False),
+                cfg, precision)
 
         # even half-step: Z = A V_{j+1} − U_j Lᵀ, reorth, QR → U_{j+1}, R
-        Z = _matmat(A, Vn, precision) - jnp.matmul(Uj, L.T,
-                                                   precision=precision)
+        Z = _row_sh(_matmat(A, Vn, precision)
+                    - jnp.matmul(Uj, L.T, precision=precision))
         Z = reorth(Z, U)
         stopped = stopped | (jnp.linalg.norm(Z) < tol_bd)
-        Un, Rn = qr_econ(Z)
+        if qr_keys is None:
+            Un, Rn = qr_econ(Z)
+        else:
+            Un, Rn = _qr_explicit(
+                Z, jax.lax.dynamic_index_in_dim(qr_keys, 2 * j + 1, 0,
+                                                keepdims=False),
+                cfg, precision)
 
         keep = jnp.where(stopped, 0.0, 1.0).astype(dtype)
         U = jax.lax.dynamic_update_slice(U, Un * keep, (0, c))
@@ -153,8 +221,18 @@ def _abrik_factor_timed(A, state, cfg, precision, timer):
     with timer.phase("gemm_A"):
         Z1 = _matmat(A, V1, precision)
         device_sync(Z1)
+    if cfg.qr_explicit == "geqrf":
+        qr_keys = [None] * (2 * q)
+    else:
+        kq, state = state.spawn()
+        qr_keys = list(jax.random.split(kq, 2 * q))
+
+    def _qr(X, key):
+        return (qr_econ(X) if key is None
+                else _qr_explicit(X, key, cfg, precision))
+
     with timer.phase("qr"):
-        U1, R1 = qr_econ(Z1)
+        U1, R1 = _qr(Z1, qr_keys[0])
         device_sync(U1)
     with timer.phase("r_cpy"):
         U = U.at[:, :b].set(U1)
@@ -190,7 +268,7 @@ def _abrik_factor_timed(A, state, cfg, precision, timer):
             device_sync(W)
         with timer.phase("qr"):
             stopped = stopped | (jnp.linalg.norm(W) < tol_bd)
-            Vn, L = qr_econ(W)
+            Vn, L = _qr(W, qr_keys[2 * j])
             device_sync(Vn)
         with timer.phase("gemm_A"):
             Z = _matmat(A, Vn, precision) - jnp.matmul(
@@ -201,7 +279,7 @@ def _abrik_factor_timed(A, state, cfg, precision, timer):
             device_sync(Z)
         with timer.phase("qr"):
             stopped = stopped | (jnp.linalg.norm(Z) < tol_bd)
-            Un, Rn = qr_econ(Z)
+            Un, Rn = _qr(Z, qr_keys[2 * j + 1])
             device_sync(Un)
         with timer.phase("s_cpy"):
             keep = jnp.where(stopped, 0.0, 1.0).astype(dtype)

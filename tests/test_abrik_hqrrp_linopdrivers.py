@@ -189,3 +189,20 @@ class TestABRIKMore:
                                                      reorth_passes=rp),
                                    RNGState(85))
             assert float(util.orthogonality_check(U)) < 1e-8, rp
+
+
+class TestABRIKQRExplicit:
+    """rl_abrik.hh:38-40 QR_explicit subroutine switch."""
+
+    def test_cqrrt_matches_geqrf(self):
+        from randlapack_tpu.gen import fast_decay_matrix
+        A, _ = fast_decay_matrix(256, 192, RNGState(7), dtype=jnp.float64,
+                                 decay=6.0)
+        sv = np.linalg.svd(np.asarray(A), compute_uv=False)
+        for qe in ("geqrf", "cqrrt"):
+            cfg = ABRIKConfig(block_size=16, max_iters=4, qr_explicit=qe)
+            U, S, Vt, info, _ = abrik(A, 32, cfg, RNGState(8))
+            np.testing.assert_allclose(np.asarray(S[:16]), sv[:16],
+                                       rtol=1e-3)
+            orth = float(jnp.linalg.norm(U.T @ U - jnp.eye(32)))
+            assert orth < 1e-12, (qe, orth)
