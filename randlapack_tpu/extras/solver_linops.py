@@ -116,8 +116,10 @@ def _register(cls):
 @_register
 class CholSolverLinOp(_HostSolveOp):
     """K⁻¹ of a sparse SPD matrix as a LinearOperator (reference
-    ext_cholsolver_linop.hh). ``half=True`` exposes the half-solve L⁻¹
-    (reference's layout-flip trick :30-33 becomes an option flag)."""
+    ext_cholsolver_linop.hh). ``half=True`` exposes the half-solve L̃⁻¹
+    for a sparse permuted Cholesky factor L̃ = Pᵀ·L_c with L̃·L̃ᵀ = K
+    (reference's layout-flip trick :30-33 becomes an option flag; any n —
+    the factor comes from symmetric-mode SuperLU, see ``_factorize``)."""
 
     def __init__(self, rows, cols, vals, n, dtype=jnp.float32,
                  half: bool = False, device_solves: bool = True):
@@ -127,26 +129,51 @@ class CholSolverLinOp(_HostSolveOp):
     def _factorize(self):
         import scipy.sparse as sp
         import scipy.sparse.linalg as spla
-        # sparse Cholesky via LDLᵀ-free route: splu with natural ordering
-        # restricted to SPD use (scipy lacks cholmod); verify SPD cheaply.
         self._lu = spla.splu(self._K.tocsc())
         if self._half:
-            # L from superLU of SPD K is not the Cholesky L; build the
-            # half-solve from a dense Cholesky when n is small, else
-            # fall back to full solves (documented limitation).
-            n = self._n
-            if n <= 4096:
-                import numpy.linalg as npl
-                L = npl.cholesky(self._K.toarray())
-                self._Lfac = L
-            else:
-                raise NotImplementedError(
-                    "half-solve only for n <= 4096 without cholmod")
+            # Sparse Cholesky without cholmod, any n: symmetric-mode
+            # SuperLU with diagonal pivoting disabled does NO row
+            # pivoting on an SPD matrix, so P·K·Pᵀ = L·U with U = D·Lᵀ
+            # and the Cholesky factor of the permuted matrix is
+            # L_c = L·√D. Then K = (Pᵀ·L_c)(Pᵀ·L_c)ᵀ — a valid
+            # half-solve factor L̃ = Pᵀ·L_c (whitening only needs SOME
+            # L̃ with L̃·L̃ᵀ = K; the reference's layout-flip trick,
+            # ext_cholsolver_linop.hh:30-33, likewise exposes Eigen's
+            # permuted factor).
+            lu = spla.splu(self._K.tocsc(), permc_spec="MMD_AT_PLUS_A",
+                           diag_pivot_thresh=0.0,
+                           options={"SymmetricMode": True})
+            if not np.array_equal(lu.perm_r, lu.perm_c):
+                raise ValueError(
+                    "SuperLU row-pivoted despite SymmetricMode — the "
+                    "matrix is not SPD (half-solve requires SPD K)")
+            d = lu.U.diagonal()
+            if np.any(d <= 0.0):
+                raise ValueError(
+                    "non-positive pivot: K is not positive definite")
+            self._Lc = (lu.L @ sp.diags(np.sqrt(d))).tocsr()
+            self._perm_r = lu.perm_r
+
+    def _device_solve_half(self, X):
+        """Device half-solve L̃⁻¹·X = L_c⁻¹·(Pr·X) via the padded-CSR
+        triangular kernel (same route as the full device solves)."""
+        from ..sketching.sparse_data import sparse_trsm
+        Lc = self._Lc.tocoo()
+        t = X[jnp.asarray(np.argsort(self._perm_r))]
+        return sparse_trsm(Lc.row, Lc.col,
+                           Lc.data.astype(np.dtype(self._dtype)),
+                           self._n, t, lower=True)
+
+    def matmat(self, X, precision=None):
+        if self._half and self._device:
+            return self._device_solve_half(X)
+        return super().matmat(X, precision)
 
     def _solve(self, B):
         if self._half:
-            import scipy.linalg as sla
-            return sla.solve_triangular(self._Lfac, B, lower=True)
+            import scipy.sparse.linalg as spla
+            return spla.spsolve_triangular(
+                self._Lc, B[np.argsort(self._perm_r)], lower=True)
         return self._lu.solve(B)
 
 

@@ -32,12 +32,40 @@ class TestSolverLinops:
                                    np.asarray(B), atol=1e-9)
 
     def test_half_solve(self):
+        # the exposed factor is the permuted sparse Cholesky L̃ = Pᵀ·L_c
+        # (any L̃ with L̃·L̃ᵀ = K is a valid half factor — whitening is
+        # basis-free); verify the defining property and the solve
         rows, cols, vals, K = _spd_coo(40, 2)
         op = CholSolverLinOp(rows, cols, vals, 40, jnp.float64, half=True)
+        Lc = op._Lc.toarray()
+        Lt = Lc[op._perm_r]                  # permuted factor rows
+        np.testing.assert_allclose(Lt @ Lt.T, K, atol=1e-9)
         B = jnp.asarray(np.random.default_rng(2).standard_normal((40, 2)))
         X = np.asarray(op.matmat(B))
-        L = np.linalg.cholesky(K)
-        np.testing.assert_allclose(L @ X, np.asarray(B), atol=1e-9)
+        np.testing.assert_allclose(Lt @ X, np.asarray(B), atol=1e-9)
+        # whitening: cov of L̃⁻¹·K·L̃⁻ᵀ = I
+        W = np.asarray(op.matmat(jnp.asarray(K))) @ np.linalg.inv(Lt).T
+        np.testing.assert_allclose(W, np.eye(40), atol=1e-8)
+
+    def test_half_solve_large_n_host(self):
+        # the former n<=4096 NotImplementedError is gone: the sparse
+        # symmetric-mode factorization handles any n (here 5000, host
+        # path to keep the CPU test fast)
+        n = 5000
+        rng = np.random.default_rng(5)
+        diag = 4.0 + rng.random(n)
+        rows = np.concatenate([np.arange(n), np.arange(n - 1),
+                               np.arange(1, n)])
+        cols = np.concatenate([np.arange(n), np.arange(1, n),
+                               np.arange(n - 1)])
+        vals = np.concatenate([diag, -np.ones(n - 1), -np.ones(n - 1)])
+        op = CholSolverLinOp(rows, cols, vals, n, jnp.float64, half=True,
+                             device_solves=False)
+        B = jnp.asarray(rng.standard_normal((n, 2)))
+        X = np.asarray(op.matmat(B))
+        Lc = op._Lc
+        Lt_X = (Lc @ X)[op._perm_r]          # (Pᵀ·L_c)·X
+        np.testing.assert_allclose(Lt_X, np.asarray(B), atol=1e-9)
 
     def test_lu_solver_and_transpose(self):
         rng = np.random.default_rng(3)
