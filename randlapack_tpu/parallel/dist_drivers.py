@@ -156,3 +156,143 @@ def dist_hqrrp(A: jax.Array, mesh: Mesh, state: RNGState,
         A, NamedSharding(mesh, P(axis, None)))
     with jax.sharding.set_mesh(mesh):
         return hqrrp(A, cfg, state, precision)
+
+
+def dist_abrik(A: jax.Array, k: int, mesh: Mesh, state: RNGState,
+               block_size: int = 32, max_iters: int = 10,
+               axis: str = "rows", precision=STABLE_PRECISION):
+    """Distributed ABRIK: block-Krylov SVD with the tall (row) dimension
+    sharded over the mesh. The operator applies shard trivially — A·V is
+    row-local, Aᵀ·U psums over the shards — and the m-sided inner QRs run
+    Gram-based (``qr_explicit="cqrrt"``: sketch + Gram psum + row-local
+    trsm) so no Householder gather ever materializes the tall factors.
+    V-side work (n-dim) is replicated. (New design — SURVEY §5.8; the
+    reference has no distributed ABRIK.)
+
+    Returns ``(U, S, Vt, info, next_state)`` with U sharded like A.
+    """
+    from ..drivers.abrik import ABRIKConfig, abrik
+    cfg = ABRIKConfig(block_size=block_size, max_iters=max_iters,
+                      qr_explicit="cqrrt", shard_axis=axis)
+    A = jax.lax.with_sharding_constraint(
+        A, NamedSharding(mesh, P(axis, None)))
+    with jax.sharding.set_mesh(mesh):
+        return abrik(A, k, cfg, state, precision=precision)
+
+
+class DistSquaredExpKernelLinOp:
+    """Squared-exponential kernel operator with the matvec sharded over
+    row blocks of the (never-materialized) kernel matrix: each device
+    evaluates k(X_local, X_full)·V for its shard of the data points
+    (O(n²/p) local work and memory, no K slab). Column/diagonal access
+    (what RPCholesky's preconditioner build needs — O(n·k) work) stays
+    replicated. (New design — SURVEY §5.8: the KRILL linop track's
+    clearest multi-chip value.)
+    """
+
+    def __init__(self, X: jax.Array, bandwidth, mus, mesh: Mesh,
+                 axis: str = "rows", evals_include_reg: bool = True,
+                 block: int = 2048):
+        from ..pdkernels import SquaredExpKernelLinOp
+        self._base = SquaredExpKernelLinOp(X, bandwidth, mus,
+                                           evals_include_reg, block)
+        self.mesh = mesh
+        self.axis = axis
+
+    # pytree: delegate the traced leaves to the base operator
+    def tree_flatten(self):
+        return (self._base,), (self.mesh, self.axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj._base = children[0]
+        obj.mesh, obj.axis = aux
+        return obj
+
+    def with_reg(self, flag: bool):
+        new = object.__new__(DistSquaredExpKernelLinOp)
+        new._base = self._base.with_reg(flag)
+        new.mesh, new.axis = self.mesh, self.axis
+        return new
+
+    # replicated protocol pieces (RPCholesky build path)
+    @property
+    def dim(self):
+        return self._base.dim
+
+    n_rows = n_cols = dim
+
+    @property
+    def num_ops(self):
+        return self._base.num_ops
+
+    @property
+    def dtype(self):
+        return self._base.dtype
+
+    @property
+    def X(self):
+        return self._base.X
+
+    def diagonal(self):
+        return self._base.diagonal()
+
+    def columns(self, idx):
+        return self._base.columns(idx)
+
+    def matmat(self, V: jax.Array, precision=STABLE_PRECISION):
+        from jax.experimental.shard_map import shard_map
+        from ..pdkernels import squared_exp_kernel
+        base = self._base
+        n = base.dim
+        p = self.mesh.shape[self.axis]
+        assert n % p == 0, (n, p)
+        bw, mus = base.bandwidth, base.mus
+        include_reg, num_ops = base.evals_include_reg, base.num_ops
+
+        def local(Xl, Xf, Vf, Vl):
+            # rows of K for this device's points, against ALL points
+            Kl = squared_exp_kernel(Xl, Xf, bw, precision)   # (nl, n)
+            out = jnp.matmul(Kl, Vf, precision=precision)    # (nl, s)
+            if include_reg:
+                if num_ops == 1:
+                    out = out + mus[0] * Vl
+                else:
+                    out = out + Vl * mus[None, :]
+            return out
+
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(None, self.axis), P(None, None), P(None, None),
+                      P(self.axis, None)),
+            out_specs=P(self.axis, None))
+        return fn(base.X, base.X, V, V)
+
+    tmatmat = matmat
+
+    def fro_nrm(self):
+        raise NotImplementedError("implicit kernel operator")
+
+
+jax.tree_util.register_pytree_node_class(DistSquaredExpKernelLinOp)
+
+
+def dist_krill(X: jax.Array, bandwidth, mu, H: jax.Array, mesh: Mesh,
+               state: RNGState, k: int = 256, rpchol_block: int = 64,
+               tol: float = 1e-5, max_iters: int = 100,
+               axis: str = "rows", precision=STABLE_PRECISION):
+    """Distributed KRILL: kernel ridge regression whose PCG matvecs run
+    the sharded kernel row blocks of :class:`DistSquaredExpKernelLinOp`
+    (the dominant O(n²·s) cost), with the RPCholesky preconditioner built
+    replicated (O(n·k²)). Returns ``(X, res_hist, iters, next_state)``
+    with the solution replicated (pcg's small-vector algebra is
+    n-replicated; only the kernel applies shard).
+    """
+    from ..drivers.krill import KrillConfig, krill_full_rpchol
+    from ..comps.determiter import PCGConfig
+    G = DistSquaredExpKernelLinOp(X, bandwidth, mu, mesh, axis)
+    cfg = KrillConfig(k=k, rpchol_block=rpchol_block,
+                      pcg=PCGConfig(tol=tol, max_iters=max_iters))
+    with jax.sharding.set_mesh(mesh):
+        return krill_full_rpchol(G, H, mu, cfg, state, precision)

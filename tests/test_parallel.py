@@ -175,3 +175,51 @@ class TestDistHQRRP:
         _, _, J1, _, _, _ = hqrrp(A, HQRRPConfig(block_size=32),
                                   RNGState(34))
         np.testing.assert_array_equal(np.asarray(J), np.asarray(J1))
+
+
+class TestDistLinopTrack:
+    """Round-3 additions: sharded ABRIK + distributed KRILL matvec
+    (SURVEY §5.8 — new design, no reference analogue)."""
+
+    def test_dist_abrik_matches_svd(self, mesh):
+        from randlapack_tpu.parallel import dist_abrik
+        from randlapack_tpu.gen import fast_decay_matrix
+        A, _ = fast_decay_matrix(256, 128, RNGState(7), dtype=jnp.float64,
+                                 decay=6.0)
+        sv = np.linalg.svd(np.asarray(A), compute_uv=False)
+        U, S, Vt, info, _ = dist_abrik(A, 32, mesh, RNGState(8),
+                                       block_size=16, max_iters=4)
+        np.testing.assert_allclose(np.asarray(S[:8]), sv[:8], rtol=1e-6)
+        orth = float(jnp.linalg.norm(U.T @ U - jnp.eye(32)))
+        assert orth < 1e-10
+
+    def test_dist_kernel_matmat_matches_local(self, mesh):
+        from randlapack_tpu.parallel import DistSquaredExpKernelLinOp
+        from randlapack_tpu.pdkernels import (SquaredExpKernelLinOp,
+                                              standardize_dataset)
+        n = 128
+        X = standardize_dataset(
+            jax.random.normal(jax.random.key(1), (6, n), dtype=jnp.float64))
+        V = jax.random.normal(jax.random.key(2), (n, 3), dtype=jnp.float64)
+        Gd = DistSquaredExpKernelLinOp(X, 2.0, 1e-2, mesh)
+        Gl = SquaredExpKernelLinOp(X, 2.0, 1e-2)
+        np.testing.assert_allclose(np.asarray(Gd.matmat(V)),
+                                   np.asarray(Gl.matmat(V)), atol=1e-12)
+
+    def test_dist_krill_converges(self, mesh):
+        from randlapack_tpu.parallel import dist_krill
+        from randlapack_tpu.pdkernels import (SquaredExpKernelLinOp,
+                                              standardize_dataset)
+        n = 256
+        X = standardize_dataset(
+            jax.random.normal(jax.random.key(5), (6, n), dtype=jnp.float64))
+        sub = np.asarray(X[:, :64])
+        d2 = ((sub[:, :, None] - sub[:, None, :]) ** 2).sum(0)
+        bw = float(np.sqrt(np.median(d2[d2 > 0])))
+        H = jax.random.normal(jax.random.key(6), (n, 1), dtype=jnp.float64)
+        Xs, hist, it, _ = dist_krill(X, bw, 1e-2, H, mesh, RNGState(9),
+                                     k=64, rpchol_block=32, tol=1e-8,
+                                     max_iters=100)
+        G = SquaredExpKernelLinOp(X, bw, 1e-2)
+        r = float(jnp.linalg.norm(G.matmat(Xs) - H) / jnp.linalg.norm(H))
+        assert r < 1e-6 and int(it) < 100
