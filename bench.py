@@ -171,6 +171,16 @@ def main():
             "seconds": t_cq, "gflops": cq_flops / t_cq / 1e9,
             "rank": int(rkc), "fail": bool(failc)}
         log(f"[bench] CQRRPT: {t_cq:.3f}s = {cq_flops/t_cq/1e9:.0f} GFLOP/s")
+        # phase attribution (the reference's CQRRPT_runtime_breakdown.cc):
+        # one synced run — phase sums exceed the fused wall time (each
+        # sync pays the ~30ms tunnel RTT), so only the RATIOS matter
+        try:
+            out_t = cqrrpt(A, ccfg, st, timing=True)
+            results["cqrrpt_131072x2048"]["phase_breakdown_s"] = {
+                k2: round(v2, 4) for k2, v2 in out_t[-1].items()}
+            log(f"[bench] CQRRPT phases: {out_t[-1]}")
+        except Exception as e2:
+            log(f"[bench] CQRRPT breakdown skipped: {e2}")
         del A, Qc, Rc
     except Exception as e:  # pragma: no cover
         log(f"[bench] CQRRPT skipped: {e}")
@@ -198,17 +208,32 @@ def main():
         from randlapack_tpu.comps import PCGConfig
         from randlapack_tpu.pdkernels import (SquaredExpKernelLinOp,
                                               standardize_dataset)
+        import numpy as np
         X = standardize_dataset(jax.random.normal(jax.random.key(11),
                                                   (8, 8192), dtype=dtype))
-        G = SquaredExpKernelLinOp(X, 1.0, 1e-2, block=2048)
+        # bandwidth = median pairwise distance (the RBF median heuristic):
+        # bw=1.0 on 8-dim standardized data makes K near-diagonal and the
+        # rank-k preconditioner useless (measured: 100-iter cap); at the
+        # median (~3.8) + k=256 PCG converges in ~14 iterations (CPU scale
+        # model, round 3)
+        sub = np.asarray(X[:, :256])
+        d2 = ((sub[:, :, None] - sub[:, None, :]) ** 2).sum(0)
+        bw = float(np.sqrt(np.median(d2[d2 > 0])))
+        G = SquaredExpKernelLinOp(X, bw, 1e-2, block=2048)
         h = jax.random.normal(jax.random.key(12), (8192, 1), dtype=dtype)
-        kcfg = KrillConfig(k=128, rpchol_block=64,
+        kcfg = KrillConfig(k=256, rpchol_block=64,
                            pcg=PCGConfig(tol=1e-5, max_iters=100))
         (Xs, histk, itk, _), t_kr = timed(
             lambda gg, hh, s: krill_full_rpchol(gg, hh, 1e-2, kcfg, s),
             G, h, RNGState(6), reps=1)
-        results["krill_8192"] = {"seconds": t_kr, "iters": int(itk)}
-        log(f"[bench] KRILL: {t_kr:.3f}s, {int(itk)} CG iters")
+        hk = jnp.asarray(histk)[: int(itk) + 1, 0]
+        final_rel = float(hk[-1] / hk[0])
+        results["krill_8192"] = {"seconds": t_kr, "iters": int(itk),
+                                 "bandwidth_median_heuristic": bw,
+                                 "final_rel_resid": final_rel,
+                                 "converged": bool(int(itk) < 100)}
+        log(f"[bench] KRILL: {t_kr:.3f}s, {int(itk)} CG iters, "
+            f"final rel resid {final_rel:.2e} (bw={bw:.2f})")
     except Exception as e:  # pragma: no cover
         log(f"[bench] ABRIK/KRILL skipped: {e}")
 

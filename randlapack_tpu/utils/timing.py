@@ -88,3 +88,22 @@ def profile_trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def format_phase_breakdown(times: dict, title: str = "") -> str:
+    """Pretty-print a phase-metrics dict as the reference's percentage
+    breakdown block (rl_bqrrp.hh:586-607 prints each subroutine's μs and
+    share of the total) — returns the formatted string; feed it any
+    driver's ``timing=True`` dict::
+
+        fac, st, t = bqrrp_factored(A, cfg, st, timing=True)
+        print(format_phase_breakdown(t, "BQRRP"))
+    """
+    total = sum(times.values())
+    head = f"/// {title + ' ' if title else ''}phase breakdown ///"
+    lines = [head]
+    for k, v in sorted(times.items(), key=lambda kv: -kv[1]):
+        lines.append(f"{k:<24}{v * 1e6:>14.0f} us"
+                     f"{100.0 * v / max(total, 1e-12):>7.1f}%")
+    lines.append(f"{'total':<24}{total * 1e6:>14.0f} us{100.0:>7.1f}%")
+    return "\n".join(lines)
