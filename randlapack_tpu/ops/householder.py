@@ -133,7 +133,12 @@ def orhr_col(Q_panel: jax.Array, row0, precision=STABLE_PRECISION):
     m, b = Q_panel.shape
     dtype = Q_panel.dtype
     Q1 = jax.lax.dynamic_slice(Q_panel, (row0, 0), (b, b))
-    F, s = getrfnp(Q1)
+    # the b² elimination runs as one VMEM-resident Pallas kernel on
+    # TPU/f32 (ops/pallas_lu.py — the recursive chain was the largest
+    # serial cost of the BQRRP block loop, ~2.9 ms/call at b=512);
+    # recursive jnp elsewhere
+    from .pallas_lu import getrfnp_routed
+    F, s = getrfnp_routed(Q1)
     L1 = jnp.tril(F, -1) + jnp.eye(b, dtype=dtype)
     U1 = jnp.triu(F)
     S_pad = jnp.zeros((m, b), dtype).at[
