@@ -89,6 +89,17 @@ class BQRRPConfig:
                                   # WY trailing update through the fused
                                   # Pallas kernels (ops/pallas_wy.py) on
                                   # TPU when shapes divide; "never" = jnp
+    sketch_r: str = "auto"        # factored form: how the panel
+                                  # preconditioner R_sk is computed from
+                                  # the sketch panel Ysk_p. "gram" =
+                                  # Cholesky of Ysk_pᵀYsk_p (one GEMM,
+                                  # fast, but squares the panel condition
+                                  # number — f32 breaks past b≈512 on
+                                  # decaying spectra); "qr" = Householder
+                                  # qr_econ of the (d, b) sketch (no
+                                  # squaring — the explicit driver's
+                                  # route, enables b ≥ 1024); "auto" =
+                                  # gram for b ≤ 512, qr above
     update_defer: int = 1         # factored form only: aggregate this many
                                   # consecutive blocks' rank-b trailing
                                   # updates (the thin-k V·Z GEMMs, the
@@ -526,11 +537,20 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
                 R11, panel_m, left_side=False, lower=False)
             failp = jnp.any(~jnp.isfinite(Q_panel))
         else:
-            G_sk = jnp.matmul(Ysk_p.T, Ysk_p, precision=precision)
-            L_sk = jax.lax.linalg.cholesky(G_sk)
-            badsk = jnp.any(jnp.isnan(L_sk))
-            R_sk = _safe_triu_diag(
-                jnp.where(badsk, jnp.eye(b, dtype=dtype), L_sk.T), dtype)
+            if cfg.sketch_r == "qr" or (cfg.sketch_r == "auto"
+                                        and b > 512):
+                # Householder R of the (d, b) sketch: no Gram squaring,
+                # so the preconditioner survives panel condition numbers
+                # that NaN the f32 Gram route (the round-2 b≥1024
+                # quality collapse was exactly this Cholesky)
+                R_sk = _safe_triu_diag(qr_econ(Ysk_p)[1], dtype)
+            else:
+                G_sk = jnp.matmul(Ysk_p.T, Ysk_p, precision=precision)
+                L_sk = jax.lax.linalg.cholesky(G_sk)
+                badsk = jnp.any(jnp.isnan(L_sk))
+                R_sk = _safe_triu_diag(
+                    jnp.where(badsk, jnp.eye(b, dtype=dtype), L_sk.T),
+                    dtype)
             Q_panel, R11, failp = preconditioned_cholqr(panel_m, R_sk,
                                                         precision)
         if cfg.panel_reorth:
@@ -538,9 +558,14 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
             R11 = jnp.matmul(R2, R11, precision=precision)
             failp = failp | f2
         # rescue 1: shifted CholQR3 (GEMM-form, survives ill-conditioning)
-        Q_r, R_r, f_r = shifted_cholqr3(panel_m, precision)
-        Q_panel = jnp.where(failp, Q_r, Q_panel)
-        R11 = jnp.where(failp, R_r, R11)
+        # — LAZY: lax.cond executes only the taken branch, so the healthy
+        # path skips the 3-pass rescue chain entirely (measured ~1.1 ms/
+        # block of pure serial cost when it ran unconditionally)
+        Q_panel, R11, f_r = jax.lax.cond(
+            failp,
+            lambda pm, q, r: shifted_cholqr3(pm, precision),
+            lambda pm, q, r: (q, r, jnp.asarray(False)),
+            panel_m, Q_panel, R11)
         fail = fail | (failp & f_r)
         # rescue 2: exactly-zero/degenerate panels NaN even the shifted
         # pass — substitute identity columns so outputs stay finite with
