@@ -97,6 +97,22 @@ def main():
           bool(jnp.all(jnp.isfinite(S))) and float(S[0]) > 0,
           f"sigma0 {float(S[0]):.3e}")
 
+    # x64-on-TPU: BQRRP must auto-route pivot selection to the
+    # Householder QRCP (XLA's TPU LU is f32-only) and stay correct
+    jax.config.update("jax_enable_x64", True)
+    try:
+        A64, st64 = fast_decay_matrix(512, 512, RNGState(3),
+                                      dtype=jnp.float64)
+        fac64, _ = bqrrp_factored(
+            A64, BQRRPConfig(block_size=128), st64)
+        qr_invariants("bqrrp_factored x64 512", A64, bqrrp_q(fac64),
+                      fac64.R, fac64.J, fac64.fail, 1e-8, 1e-8)
+    except Exception as e:  # a loud failure naming hqrrp also passes
+        loud = "hqrrp" in str(e).lower() or "x64" in str(e).lower()
+        check("bqrrp x64 route", loud, f"raised: {e}")
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
     if mode == "full":
         n2 = 4096
         A2, st3 = fast_decay_matrix(n2, n2, RNGState(2), dtype=jnp.float32)

@@ -65,6 +65,12 @@ class HQRRPConfig:
     block_size: int = 64
     oversample: int = 10          # the reference's pp (sketch rows = b+pp)
     panel_qr: PanelQR = PanelQR.qrcp
+    pallas_qrcp: str = "auto"     # "auto" = run the per-block sketch
+                                  # QRCP (the b-sequential wall-time
+                                  # bottleneck) as one VMEM-resident
+                                  # Pallas kernel on TPU/f32
+                                  # (ops/pallas_qrcp.py); "never" = the
+                                  # jnp fori_loop
     shard_axis: str | None = None  # mesh axis to row-shard the tall dim
                                    # over (set by dist_hqrrp): A and the
                                    # sketch operator G stay sharded, the
@@ -146,7 +152,11 @@ def _hqrrp_block_step(carry, c, bsz, cfg: HQRRPConfig, precision,
 
     # 1. QRCP of the downdated sketch -> b pivots (lockstep-equivalent)
     with _phase("qrcp"):
-        chosen = qrcp_select_pivots(Y, bsz, live, precision)
+        from ..ops.pallas_qrcp import qrcp_select_pivots_routed
+        _pq = ("never" if cfg.shard_axis is not None
+               else cfg.pallas_qrcp)
+        chosen = qrcp_select_pivots_routed(Y, bsz, live, precision,
+                                           use_pallas=_pq)
         if timer is not None:
             device_sync(chosen.astype(jnp.float32))
 
@@ -156,9 +166,10 @@ def _hqrrp_block_step(carry, c, bsz, cfg: HQRRPConfig, precision,
         if cfg.panel_qr == PanelQR.cholqr:
             W, V, taus, sigma, failp = _cholqr_panel(panel, c, precision)
         else:
-            W, V, taus, sigma = qrcp_panel(
+            from ..ops.pallas_qrcp import qrcp_panel_routed
+            W, V, taus, sigma = qrcp_panel_routed(
                 panel, c, pivot=(cfg.panel_qr == PanelQR.qrcp),
-                precision=precision)
+                precision=precision, use_pallas=_pq)
             failp = jnp.asarray(False)
         chosen = jnp.take(chosen, sigma)
         A = A.at[:, chosen].set(W)

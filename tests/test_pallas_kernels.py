@@ -88,3 +88,54 @@ class TestPallasWY:
         # non-divisible shapes take the jnp fallback transparently
         out_f = trailing_wy_update(A[:1000], V[:1000], T, mask)
         assert out_f.shape == (1000, 1024)
+
+
+class TestPallasQRCP:
+    """VMEM-resident sketch-QRCP pivot kernel (ops/pallas_qrcp.py) vs the
+    jnp fori_loop reference — same masked-reflector math, so the pivot
+    sequences must match exactly on f32 inputs."""
+
+    def test_exact_pivot_match(self):
+        from randlapack_tpu.ops.qr import qrcp_select_pivots
+        from randlapack_tpu.ops.pallas_qrcp import (
+            qrcp_select_pivots_pallas)
+        rng = np.random.default_rng(0)
+        for d, n, b in [(74, 512, 64), (26, 256, 16), (138, 1024, 128)]:
+            Y = jnp.asarray(rng.standard_normal((d, n))
+                            * np.exp(-3 * rng.random(n))[None, :],
+                            jnp.float32)
+            live = jnp.ones((n,), jnp.float32).at[:7].set(0.0)
+            ref = qrcp_select_pivots(Y, b, live)
+            pal = qrcp_select_pivots_pallas(Y, b, live, interpret=True)
+            np.testing.assert_array_equal(np.asarray(ref),
+                                          np.asarray(pal))
+            # retired (live=0) columns are never selected
+            assert not set(np.asarray(pal).tolist()) & set(range(7))
+
+    def test_routed_fallback_f64(self):
+        # f64 routes to the jnp path transparently (no TPU f64 kernels)
+        from randlapack_tpu.ops.qr import qrcp_select_pivots
+        from randlapack_tpu.ops.pallas_qrcp import (
+            qrcp_select_pivots_routed)
+        rng = np.random.default_rng(1)
+        Y = jnp.asarray(rng.standard_normal((40, 256)))
+        live = jnp.ones((256,), Y.dtype)
+        ref = qrcp_select_pivots(Y, 32, live)
+        out = qrcp_select_pivots_routed(Y, 32, live)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    def test_panel_kernel_matches(self):
+        from randlapack_tpu.ops.qr import qrcp_panel
+        from randlapack_tpu.ops.pallas_qrcp import qrcp_panel_routed
+        rng = np.random.default_rng(2)
+        for m, b, r0 in [(512, 64, 0), (512, 64, 128), (768, 128, 300)]:
+            P = jnp.asarray(rng.standard_normal((m, b)), jnp.float32)
+            for pv in (True, False):
+                W1, V1, t1, s1 = qrcp_panel(P, r0, pv)
+                W2, V2, t2, s2 = qrcp_panel_routed(
+                    P, r0, pv, use_pallas="auto", interpret=True)
+                np.testing.assert_array_equal(np.asarray(s1),
+                                              np.asarray(s2))
+                assert float(jnp.max(jnp.abs(W1 - W2))) < 1e-4
+                assert float(jnp.max(jnp.abs(V1 - V2))) < 1e-5
+                assert float(jnp.max(jnp.abs(t1 - t2))) < 1e-5
