@@ -65,12 +65,19 @@ class HQRRPConfig:
     block_size: int = 64
     oversample: int = 10          # the reference's pp (sketch rows = b+pp)
     panel_qr: PanelQR = PanelQR.qrcp
-    pallas_qrcp: str = "auto"     # "auto" = run the per-block sketch
-                                  # QRCP (the b-sequential wall-time
-                                  # bottleneck) as one VMEM-resident
-                                  # Pallas kernel on TPU/f32
+    pallas_qrcp: str = "never"    # "auto" = run the per-block sketch
+                                  # QRCP as one VMEM-resident Pallas
+                                  # kernel on TPU/f32
                                   # (ops/pallas_qrcp.py); "never" = the
-                                  # jnp fori_loop
+                                  # jnp fori_loop. Measured at 8192^2
+                                  # b=128 (r3 same-process combos
+                                  # sweep): never 0.499s < sk-kernel
+                                  # 0.524 < panel-kernel 0.581 — XLA's
+                                  # fused loop beats both kernels, so
+                                  # both default off (same verdict as
+                                  # ops/pallas_wy.py's masked-WY)
+    pallas_panel: str = "never"   # same switch for the (m, b) panel
+                                  # factorization kernel
     shard_axis: str | None = None  # mesh axis to row-shard the tall dim
                                    # over (set by dist_hqrrp): A and the
                                    # sketch operator G stay sharded, the
@@ -167,9 +174,11 @@ def _hqrrp_block_step(carry, c, bsz, cfg: HQRRPConfig, precision,
             W, V, taus, sigma, failp = _cholqr_panel(panel, c, precision)
         else:
             from ..ops.pallas_qrcp import qrcp_panel_routed
+            _pp = ("never" if cfg.shard_axis is not None
+                   else cfg.pallas_panel)
             W, V, taus, sigma = qrcp_panel_routed(
                 panel, c, pivot=(cfg.panel_qr == PanelQR.qrcp),
-                precision=precision, use_pallas=_pq)
+                precision=precision, use_pallas=_pp)
             failp = jnp.asarray(False)
         chosen = jnp.take(chosen, sigma)
         A = A.at[:, chosen].set(W)

@@ -27,9 +27,14 @@ import jax.numpy as jnp
 
 HP = jax.lax.Precision.HIGHEST
 
-# VMEM budget for the resident sketch (bytes): W plus the trailing-norm
-# pass working set must fit comfortably under the ~16 MB/core limit
-_VMEM_SKETCH_BYTES = 10 * 2**20
+# Per-kernel VMEM ceiling passed to Mosaic (v5e has 128 MiB/core; the
+# default scoped limit is 16 MiB and these kernels legitimately need
+# more at full problem sizes — measured 23.8 MiB scoped at an
+# (8192, 128) panel, ~6x the naive window estimate once Mosaic's
+# revolving windows and the body's vector-stack temporaries count)
+_VMEM_LIMIT_BYTES = 96 * 2**20
+# empirical scoped-usage multiplier over one (padded) array's bytes
+_VMEM_SCOPED_FACTOR = 6
 
 
 def _fits(d, n, dtype):
@@ -37,7 +42,8 @@ def _fits(d, n, dtype):
         return False          # TPU VPU/MXU have no f64 path
     d_pad = -(-d // 8) * 8
     n_pad = -(-n // 128) * 128
-    return d_pad * n_pad * 4 <= _VMEM_SKETCH_BYTES
+    return (_VMEM_SCOPED_FACTOR * d_pad * n_pad * 4
+            <= _VMEM_LIMIT_BYTES)
 
 
 @functools.partial(jax.jit, static_argnames=("nsteps", "interpret"))
@@ -155,7 +161,8 @@ def qrcp_select_pivots_pallas(Y: jax.Array, nsteps: int, live: jax.Array,
             pltpu.VMEM((1, ns_pad), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(Y, live2)
     return chosen[0, :nsteps]
@@ -175,17 +182,13 @@ def qrcp_select_pivots_routed(Y: jax.Array, nsteps: int, live: jax.Array,
     return qrcp_select_pivots_pallas(Y, nsteps, live, interpret=interpret)
 
 
-# VMEM budget for the resident panel (input copy lives in the output
-# ref, so the working set is panel-in + W-out, both lane-padded to 128)
-_VMEM_PANEL_BYTES = 12 * 2**20
-
-
 def _panel_fits(m, b, dtype):
     if dtype != jnp.float32:
         return False
     m_pad = -(-m // 8) * 8
     b_pad = -(-b // 128) * 128
-    return 2 * m_pad * b_pad * 4 <= _VMEM_PANEL_BYTES
+    return (_VMEM_SCOPED_FACTOR * m_pad * b_pad * 4
+            <= _VMEM_LIMIT_BYTES)
 
 
 @functools.partial(jax.jit, static_argnames=("pivot", "interpret"))
@@ -336,7 +339,8 @@ def qrcp_panel_pallas(panel: jax.Array, row0, pivot: bool = True,
             pltpu.VMEM((1, b), dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(row0_arr, panel)
     return W, taus[0, :b], sigma[0, :b]
