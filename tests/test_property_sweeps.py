@@ -170,7 +170,8 @@ class TestDeferSweep:
             cfg = BQRRPConfig(
                 block_size=b, update_defer=defer,
                 stages=rng.choice([1, 2]),
-                pivot_candidates=rng.choice([None, 2, 4]))
+                pivot_candidates=rng.choice([None, 2, 4]),
+                sketch_r=rng.choice(["auto", "qr", "gram"]))
             fac, _ = bqrrp_factored(A, cfg, st)
             Q = bqrrp_q(fac)
             AJ = jnp.take(A, fac.J, axis=1)
