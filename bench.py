@@ -175,6 +175,7 @@ def main():
         # one synced run — phase sums exceed the fused wall time (each
         # sync pays the ~30ms tunnel RTT), so only the RATIOS matter
         try:
+            cqrrpt(A, ccfg, st, timing=True)  # warm: compile + caches
             out_t = cqrrpt(A, ccfg, st, timing=True)
             results["cqrrpt_131072x2048"]["phase_breakdown_s"] = {
                 k2: round(v2, 4) for k2, v2 in out_t[-1].items()}
@@ -201,9 +202,11 @@ def main():
         # headline); explicit Q is timed separately like bqrrp_q
         (packed_h, taus_h, Rh, Jh, _), t_hq = timed(
             lambda a, s: hqrrp_lapack_format(a, hcfg, s), A, st, reps=2)
+        mk_q = jax.jit(lambda p, t: jax.lax.linalg.householder_product(
+            p + jnp.eye(8192, dtype=dtype), t))
+        _sync(mk_q(packed_h, taus_h))  # warm the compile out of the timing
         t0q = time.perf_counter()
-        Qh = jax.lax.linalg.householder_product(
-            packed_h + jnp.eye(8192, dtype=dtype), taus_h)
+        Qh = mk_q(packed_h, taus_h)
         _sync(Qh)
         t_hq_q = time.perf_counter() - t0q
         res_h = float(jnp.linalg.norm(
