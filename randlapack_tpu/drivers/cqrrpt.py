@@ -47,6 +47,10 @@ class CQRRPTConfig:
     sketch: str = "saso"          # "saso" | "srht" | "gaussian"
     qrcp: QRCPKind = QRCPKind.geqp3
     bqrrp_block: int = 128        # block size when qrcp == bqrrp/hqrrp
+    bqrrp_stages: int = 1         # shrinking-width stages for the sketch
+                                  # BQRRP (the headline's stages=2 knob)
+    bqrrp_pivot_candidates: int | None = None  # sketch-BQRRP candidate
+                                               # preselection multiple
     eps_rank: float | None = None  # rank-estimate threshold (None → machine)
     orthogonalization: bool = False  # complete a rank-deficient basis to a
                                      # full orthonormal Q with projected
@@ -99,7 +103,10 @@ def _qrcp_phase(A_sk, cfg: CQRRPTConfig, state, precision):
         # speed gain (0.206 s vs 0.204 s)
         from .bqrrp import BQRRPConfig, bqrrp
         _, R_sk, J, _, _, state = bqrrp(
-            A_sk, BQRRPConfig(block_size=cfg.bqrrp_block), state, precision)
+            A_sk, BQRRPConfig(block_size=cfg.bqrrp_block,
+                              stages=cfg.bqrrp_stages,
+                              pivot_candidates=cfg.bqrrp_pivot_candidates),
+            state, precision)
         R_sk = R_sk[:n, :]
     return R_sk, J, state
 
