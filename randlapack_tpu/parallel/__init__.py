@@ -19,11 +19,12 @@ from .tsqr import dist_cholqr, dist_gram, dist_shifted_cholqr3
 from .distributed import dist_sketch_left, dist_rangefinder_step
 from .dist_drivers import (dist_abrik, dist_bqrrp, dist_bqrrp_factored,
                            dist_cqrrpt, dist_hqrrp, dist_krill, dist_rsvd,
+                           dist_spls,
                            DistSquaredExpKernelLinOp)
 
 __all__ = ["make_mesh", "row_sharded", "replicated",
            "dist_cholqr", "dist_gram", "dist_shifted_cholqr3",
            "dist_sketch_left", "dist_rangefinder_step",
            "dist_bqrrp", "dist_bqrrp_factored", "dist_cqrrpt", "dist_hqrrp",
-           "dist_rsvd", "dist_abrik", "dist_krill",
+           "dist_rsvd", "dist_abrik", "dist_krill", "dist_spls",
            "DistSquaredExpKernelLinOp"]

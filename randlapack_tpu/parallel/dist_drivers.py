@@ -180,6 +180,74 @@ def dist_abrik(A: jax.Array, k: int, mesh: Mesh, state: RNGState,
         return abrik(A, k, cfg, state, precision=precision)
 
 
+def dist_spls(A: jax.Array, b: jax.Array, mu, mesh: Mesh,
+              state: RNGState, d_factor: float = 4.0, tol: float = 1e-8,
+              max_iters: int = 200, axis: str = "rows",
+              precision=STABLE_PRECISION):
+    """Distributed sketch-and-precondition least squares: solve
+    min ‖Ax−b‖² + μ‖x‖² with the tall dimension row-sharded over the
+    mesh (BASELINE config 2 at multi-chip scale; new design — SURVEY
+    §5.8, the reference's test_pcgls workflow is single-process).
+
+    Structure: a column-sharded Gaussian sketch contracts the row shards
+    into ONE replicated d×n sketch (one psum over ICI), the SVD
+    preconditioner + CholQR sketch-space refinement
+    (comps/preconditioners.py::right_precond_saso semantics) run
+    replicated on the small sketch, and every PCG iteration's normal-
+    equation matvec Aᵀ(A·v) is a row-local GEMM followed by one psum'd
+    n-contraction — the small n-vector algebra stays replicated.
+
+    Returns ``(x, res_hist, iters, next_state)`` with x replicated.
+    """
+    from ..comps.determiter import PCGSaddleConfig, pcg_saddle
+    from ..comps.preconditioners import make_right_orthogonalizer
+    from ..ops.svd import svd_econ
+
+    m, n = A.shape
+    d = min(int(d_factor * n), m)
+    dtype = A.dtype
+    rows_sh = NamedSharding(mesh, P(axis, None))
+    repl = NamedSharding(mesh, P())
+
+    key, state = state.spawn()
+    S = jax.random.normal(key, (d, m), dtype=dtype) / math.sqrt(d)
+    S = jax.lax.with_sharding_constraint(
+        S, NamedSharding(mesh, P(None, axis)))
+
+    @jax.jit
+    def impl(A, b, S):
+        A = jax.lax.with_sharding_constraint(A, rows_sh)
+        A_sk = jax.lax.with_sharding_constraint(
+            jnp.matmul(S, A, precision=precision), repl)
+        _, sigma, Vt = svd_econ(A_sk, precision=precision)
+        M, rank = make_right_orthogonalizer(Vt.T, sigma, mu)
+        # one CholQR refinement pass in sketch space (exact sketch-space
+        # conditioning; repairs the Gram/eigh SVD's trailing vectors)
+        mu_ = jnp.asarray(mu, dtype)
+        AskM = jnp.matmul(A_sk, M, precision=precision)
+        G = jnp.matmul(AskM.T, AskM, precision=precision)
+        G = G + mu_ * jnp.matmul(M.T, M, precision=precision)
+        keep = jnp.diag(G) > 0
+        G = G + jnp.diag(jnp.where(keep, 0.0, 1.0).astype(dtype))
+        L = jax.lax.linalg.cholesky(0.5 * (G + G.T))
+        bad = jnp.any(jnp.isnan(L))
+        L_safe = jnp.where(bad, jnp.eye(n, dtype=dtype), L)
+        M = jax.lax.linalg.triangular_solve(
+            L_safe.T, M, left_side=False, lower=False)
+        b2 = b[:, None] if b.ndim == 1 else b
+        x0 = jnp.zeros((n,) + b2.shape[1:], dtype)
+        x, hist, iters = pcg_saddle(
+            A, b2, jnp.zeros_like(x0), mu, M, x0,
+            PCGSaddleConfig(tol=tol, max_iters=max_iters), precision)
+        if b.ndim == 1:
+            x = x[:, 0]
+        return x, hist, iters, bad
+
+    with jax.sharding.set_mesh(mesh):
+        x, hist, iters, bad = impl(A, b, S)
+    return x, hist, iters, state
+
+
 class DistSquaredExpKernelLinOp:
     """Squared-exponential kernel operator with the matvec sharded over
     row blocks of the (never-materialized) kernel matrix: each device

@@ -223,3 +223,23 @@ class TestDistLinopTrack:
         G = SquaredExpKernelLinOp(X, bw, 1e-2)
         r = float(jnp.linalg.norm(G.matmat(Xs) - H) / jnp.linalg.norm(H))
         assert r < 1e-6 and int(it) < 100
+
+    def test_dist_spls_matches_single(self, mesh):
+        from randlapack_tpu.parallel import dist_spls
+        m, n = 960, 48
+        A, _ = mat_gen(MatGenInfo(m, n, MatType.exponential, cond_num=1e6),
+                       RNGState(21))
+        xt = jax.random.normal(jax.random.key(22), (n,), jnp.float64)
+        b = A @ xt + 1e-8 * jax.random.normal(jax.random.key(23), (m,),
+                                              jnp.float64)
+        for mu in [0.0, 1e-4]:
+            As = jax.device_put(A, row_sharded(mesh))
+            x, hist, it, _ = dist_spls(As, b, mu, mesh, RNGState(24),
+                                       tol=1e-12, max_iters=100)
+            hp = jax.lax.Precision.HIGHEST
+            r = (jnp.matmul(A.T, jnp.matmul(A, x, precision=hp) - b,
+                            precision=hp) + mu * x)
+            opt = float(jnp.linalg.norm(r) / jnp.linalg.norm(
+                jnp.matmul(A.T, b, precision=hp)))
+            assert opt < 1e-9, (mu, opt)
+            assert int(it) < 60, (mu, int(it))
