@@ -18,8 +18,8 @@ from .mesh import make_mesh, row_sharded, replicated
 from .tsqr import dist_cholqr, dist_gram, dist_shifted_cholqr3
 from .distributed import dist_sketch_left, dist_rangefinder_step
 from .dist_drivers import (dist_abrik, dist_bqrrp, dist_bqrrp_factored,
-                           dist_cqrrpt, dist_hqrrp, dist_krill, dist_rsvd,
-                           dist_spls,
+                           dist_cqrrpt, dist_cqrrt, dist_hqrrp, dist_krill,
+                           dist_revd2, dist_rsvd, dist_spls,
                            DistSquaredExpKernelLinOp)
 
 __all__ = ["make_mesh", "row_sharded", "replicated",
@@ -27,4 +27,5 @@ __all__ = ["make_mesh", "row_sharded", "replicated",
            "dist_sketch_left", "dist_rangefinder_step",
            "dist_bqrrp", "dist_bqrrp_factored", "dist_cqrrpt", "dist_hqrrp",
            "dist_rsvd", "dist_abrik", "dist_krill", "dist_spls",
+           "dist_cqrrt", "dist_revd2",
            "DistSquaredExpKernelLinOp"]

@@ -248,6 +248,158 @@ def dist_spls(A: jax.Array, b: jax.Array, mu, mesh: Mesh,
     return x, hist, iters, state
 
 
+def dist_cqrrt(A: jax.Array, mesh: Mesh, state: RNGState,
+               d_factor: float = 1.25, axis: str = "rows",
+               precision=STABLE_PRECISION):
+    """Unpivoted sketch-preconditioned QR of a row-sharded tall A — the
+    sharded analogue of :func:`randlapack_tpu.drivers.cqrrt`
+    (rl_cqrrt.hh capability over a mesh; new design, SURVEY §5.8).
+
+    One psum contracts the row shards into the replicated d×n sketch, its
+    Householder QR runs redundantly per device, the preconditioning trsm
+    is row-local, and the CholQR Gram is the second (and last) psum.
+
+    Returns ``(Q, R, fail, next_state)`` with Q sharded like A, R
+    replicated; ``fail`` mirrors cqrrt's potrf-breakdown signal.
+    """
+    from ..ops.qr import qr_econ
+
+    m, n = A.shape
+    d = min(int(d_factor * n), m)
+    dtype = A.dtype
+    rows_sh = NamedSharding(mesh, P(axis, None))
+    repl = NamedSharding(mesh, P())
+
+    key, state = state.spawn()
+    S = jax.random.normal(key, (d, m), dtype=dtype) / math.sqrt(d)
+    S = jax.lax.with_sharding_constraint(
+        S, NamedSharding(mesh, P(None, axis)))
+
+    @jax.jit
+    def impl(A, S):
+        A = jax.lax.with_sharding_constraint(A, rows_sh)
+        A_sk = jax.lax.with_sharding_constraint(
+            jnp.matmul(S, A, precision=precision), repl)
+        _, R_sk = qr_econ(A_sk)
+        dsafe = jnp.where(jnp.abs(jnp.diag(R_sk)) > 0.0,
+                          jnp.diag(R_sk), 1.0)
+        R_sk = jnp.triu(R_sk) - jnp.diag(jnp.diag(R_sk)) + jnp.diag(dsafe)
+        A_pre = jax.lax.linalg.triangular_solve(
+            R_sk, A, left_side=False, lower=False)
+        A_pre = jax.lax.with_sharding_constraint(A_pre, rows_sh)
+        G = jax.lax.with_sharding_constraint(
+            jnp.matmul(A_pre.T, A_pre, precision=precision), repl)
+        L = jax.lax.linalg.cholesky(0.5 * (G + G.T))
+        fail = jnp.any(jnp.isnan(L))
+        L_safe = jnp.where(fail, jnp.eye(n, dtype=dtype), L)
+        Q = jax.lax.linalg.triangular_solve(L_safe.T, A_pre,
+                                            left_side=False, lower=False)
+        Q = jax.lax.with_sharding_constraint(Q, rows_sh)
+        R = jnp.matmul(L_safe.T, R_sk, precision=precision)
+        return Q, R, fail
+
+    with jax.sharding.set_mesh(mesh):
+        Q, R, fail = impl(A, S)
+    return Q, R, fail, state
+
+
+def dist_revd2(A: jax.Array, k: int, mesh: Mesh, state: RNGState,
+               power_iters: int = 2, error_est_passes: int = 10,
+               axis: str = "rows", precision=STABLE_PRECISION):
+    """Distributed rank-k Nyström EVD of a row-sharded PSD A — the sharded
+    analogue of :func:`randlapack_tpu.drivers.revd2_fixed_rank`
+    (rl_revd2.hh math; new design, SURVEY §5.8).
+
+    Every A·X apply is row-local; each rangefinder orthogonalization and
+    the Nyström Gram QᵀY cost one k×k psum, and the trailing small-factor
+    algebra (ν shift, Cholesky, Gram-SVD de-regularization, power error
+    estimate) runs replicated. Returns ``(V, lam, err_est, nu, fail,
+    next_state)`` with V sharded like A.
+    """
+    n = A.shape[0]
+    dtype = A.dtype
+    rows_sh = NamedSharding(mesh, P(axis, None))
+    repl = NamedSharding(mesh, P())
+
+    key, state = state.spawn()
+    Omega = jax.random.normal(key, (n, k), dtype=dtype)
+    key_v, state = state.spawn()
+    v0 = jax.random.normal(key_v, (n, 1), dtype=dtype)
+
+    @jax.jit
+    def impl(A, Omega, v0):
+        A = jax.lax.with_sharding_constraint(A, rows_sh)
+        fail = jnp.asarray(False)
+        X = Omega
+        for _ in range(max(power_iters, 1)):
+            Y = jax.lax.with_sharding_constraint(
+                jnp.matmul(A, X, precision=precision), rows_sh)
+            G = jax.lax.with_sharding_constraint(
+                jnp.matmul(Y.T, Y, precision=precision), repl)
+            L = jax.lax.linalg.cholesky(0.5 * (G + G.T))
+            step_fail = jnp.any(jnp.isnan(L))
+            L_safe = jnp.where(step_fail, jnp.eye(k, dtype=dtype), L)
+            X = jax.lax.linalg.triangular_solve(
+                L_safe.T, Y, left_side=False, lower=False)
+            # second Gram pass (CholQR2 stability default)
+            G2 = jax.lax.with_sharding_constraint(
+                jnp.matmul(X.T, X, precision=precision), repl)
+            L2 = jax.lax.linalg.cholesky(0.5 * (G2 + G2.T))
+            step_fail = step_fail | jnp.any(jnp.isnan(L2))
+            L2_safe = jnp.where(step_fail, jnp.eye(k, dtype=dtype), L2)
+            X = jax.lax.linalg.triangular_solve(
+                L2_safe.T, X, left_side=False, lower=False)
+            X = jax.lax.with_sharding_constraint(X, rows_sh)
+            fail = fail | step_fail
+        Q = X
+        Y = jax.lax.with_sharding_constraint(
+            jnp.matmul(A, Q, precision=precision), rows_sh)
+        eps = jnp.finfo(dtype).eps
+        nu = jnp.sqrt(jnp.asarray(n, dtype)) * eps * jnp.linalg.norm(Y)
+        Y = Y + nu * Q
+        Gc = jax.lax.with_sharding_constraint(
+            jnp.matmul(Q.T, Y, precision=precision), repl)
+        C = jax.lax.linalg.cholesky(0.5 * (Gc + Gc.T))
+        fail = fail | jnp.any(jnp.isnan(C))
+        C_safe = jnp.where(jnp.any(jnp.isnan(C)), jnp.eye(k, dtype=dtype),
+                           C)
+        B = jax.lax.linalg.triangular_solve(
+            C_safe, Y, left_side=False, lower=True, transpose_a=True)
+        # Gram-SVD of the sharded tall B: BᵀB is one psum, the basis
+        # rotation stays row-local (ops/svd.py::svd_econ semantics)
+        GB = jax.lax.with_sharding_constraint(
+            jnp.matmul(B.T, B, precision=precision), repl)
+        W, lam_g = jax.lax.linalg.eigh(0.5 * (GB + GB.T))
+        lam_g = lam_g[::-1]
+        W = W[:, ::-1]
+        s = jnp.sqrt(jnp.maximum(lam_g, 0.0))
+        s_safe = jnp.maximum(s, jnp.finfo(dtype).tiny)
+        V = jax.lax.with_sharding_constraint(
+            jnp.matmul(B, W / s_safe[None, :], precision=precision),
+            rows_sh)
+        lam = jnp.maximum(s * s - nu, 0.0)
+        # power error estimate on the replicated small vectors
+        v = v0 / jnp.linalg.norm(v0)
+
+        def body(i, carry):
+            v, est = carry
+            w = (jnp.matmul(A, v, precision=precision)
+                 - jnp.matmul(V, lam[:, None]
+                              * jnp.matmul(V.T, v, precision=precision),
+                              precision=precision))
+            w = jax.lax.with_sharding_constraint(w, repl)
+            nrm = jnp.linalg.norm(w)
+            return (w / jnp.maximum(nrm, jnp.finfo(dtype).tiny), nrm)
+
+        _, err = jax.lax.fori_loop(
+            0, error_est_passes, body, (v, jnp.zeros((), dtype)))
+        return V, lam, err, nu, fail
+
+    with jax.sharding.set_mesh(mesh):
+        V, lam, err, nu, fail = impl(A, Omega, v0)
+    return V, lam, err, nu, fail, state
+
+
 class DistSquaredExpKernelLinOp:
     """Squared-exponential kernel operator with the matvec sharded over
     row blocks of the (never-materialized) kernel matrix: each device

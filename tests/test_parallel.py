@@ -224,6 +224,46 @@ class TestDistLinopTrack:
         r = float(jnp.linalg.norm(G.matmat(Xs) - H) / jnp.linalg.norm(H))
         assert r < 1e-6 and int(it) < 100
 
+    def test_dist_cqrrt(self, mesh):
+        from randlapack_tpu.parallel import dist_cqrrt
+        m, n = 960, 64
+        A, _ = mat_gen(MatGenInfo(m, n, MatType.exponential, cond_num=1e6),
+                       RNGState(31))
+        As = jax.device_put(A, row_sharded(mesh))
+        Q, R, fail, _ = dist_cqrrt(As, mesh, RNGState(32))
+        assert not bool(fail)
+        hp = jax.lax.Precision.HIGHEST
+        res = float(jnp.linalg.norm(jnp.matmul(Q, R, precision=hp) - A)
+                    / jnp.linalg.norm(A))
+        orth = float(jnp.linalg.norm(
+            jnp.matmul(Q.T, Q, precision=hp) - jnp.eye(n)))
+        assert res < 1e-12 and orth < 1e-12, (res, orth)
+        assert float(jnp.min(jnp.diag(R))) != 0.0
+
+    def test_dist_revd2_matches_single(self, mesh):
+        from randlapack_tpu.drivers import REVD2Config, revd2_fixed_rank
+        from randlapack_tpu.parallel import dist_revd2
+        n, k = 512, 24
+        B, _ = mat_gen(MatGenInfo(n, n, MatType.exponential, cond_num=1e8),
+                       RNGState(41))
+        hp = jax.lax.Precision.HIGHEST
+        A = jnp.matmul(B, B.T, precision=hp) / float(jnp.linalg.norm(B)) ** 2
+        As = jax.device_put(A, row_sharded(mesh))
+        V, lam, err, nu, fail, _ = dist_revd2(As, k, mesh, RNGState(42))
+        assert not bool(fail)
+        orth = float(jnp.linalg.norm(
+            jnp.matmul(V.T, V, precision=hp) - jnp.eye(k)))
+        assert orth < 1e-11, orth
+        # rank-k reconstruction error ≈ the single-device driver's
+        Vr, lr, er, nur, fr, _ = revd2_fixed_rank(
+            A, k, REVD2Config(), RNGState(42))
+        rec_d = float(jnp.linalg.norm(
+            A - jnp.matmul(V * lam[None, :], V.T, precision=hp)))
+        rec_s = float(jnp.linalg.norm(
+            A - jnp.matmul(Vr * lr[None, :], Vr.T, precision=hp)))
+        assert rec_d < 2.0 * rec_s + 1e-12, (rec_d, rec_s)
+        assert float(err) < 10 * max(rec_d, float(nu)), (float(err), rec_d)
+
     def test_dist_spls_matches_single(self, mesh):
         from randlapack_tpu.parallel import dist_spls
         m, n = 960, 48
