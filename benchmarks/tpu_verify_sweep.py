@@ -72,6 +72,14 @@ def main():
     qr_invariants("bqrrp explicit 2048", A, Q, R, J, fail, res_tol,
                   orth_tol)
 
+    # worker-kill regression (r3): b=512 full-width LU pivots on this
+    # exact matrix once overflowed the trsm-downdated sketch to Inf,
+    # and an Inf operand WEDGES XLA's TPU LU kernel — the run killed the
+    # TPU worker process. _sanitize_sketch must keep this alive.
+    Q, R, J, rank, fail, _ = bqrrp(A, BQRRPConfig(block_size=512), st)
+    qr_invariants("bqrrp explicit 2048 b512 (Inf-LU regression)", A, Q, R,
+                  J, fail, res_tol, orth_tol)
+
     Q, R, J, rank, fail, _ = hqrrp(A[:, :512], HQRRPConfig(block_size=128),
                                    st)
     qr_invariants("hqrrp 2048x512", A[:, :512], Q, R, J, fail, res_tol,

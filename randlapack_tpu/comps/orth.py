@@ -51,11 +51,16 @@ def stabilize(A: jax.Array, method: Stab = Stab.plu,
     iterations where orthonormality is unnecessary (reference PLUL,
     rl_orth.hh:212-230: getrf → unit-lower L). Returns ``(B, fail)``."""
     if method == Stab.plu:
+        # TPU LU wedges the worker on Inf operands (drivers/bqrrp.py::
+        # _sanitize_sketch): sanitize and raise the flag instead
+        finite = jnp.isfinite(A)
+        bad = ~jnp.all(finite)
+        A = jnp.where(finite, A, 0.0)
         lu, _, perm = jax.lax.linalg.lu(A)
         L = jnp.tril(lu[:, :A.shape[1]], -1) + jnp.eye(
             A.shape[0], A.shape[1], dtype=A.dtype)
         # un-permute rows so range is preserved: P^T L
         inv = jnp.zeros_like(perm).at[perm].set(
             jnp.arange(perm.shape[0], dtype=perm.dtype))
-        return jnp.take(L, inv, axis=0), jnp.asarray(False)
+        return jnp.take(L, inv, axis=0), bad
     return orth(A, method, precision)

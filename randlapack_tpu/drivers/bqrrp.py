@@ -130,6 +130,10 @@ def _select_pivots(Y_m, b, retired, cfg: BQRRPConfig, dtype, precision):
     candidate columns; Householder QRCP when TPU LU can't do the dtype."""
     n = Y_m.shape[1]
     live = 1.0 - retired
+    # belt over the sanitized downdate: the TPU LU kernel wedges the
+    # worker on Inf operands (see _sanitize_sketch), so the pivot pass
+    # must never see one — zeroed columns are handled by _fix_pivots
+    Y_m = jnp.where(jnp.isfinite(Y_m), Y_m, 0.0)
     if _lu_pivots_unavailable(dtype):
         from ..ops.qr import qrcp_select_pivots
         if cfg.pivot_candidates is not None:
@@ -183,6 +187,36 @@ def _fix_pivots(chosen, retired):
     # healthy blocks skip the remap (lax.cond executes one branch)
     return jax.lax.cond(jnp.all(valid), lambda a: a[0], remap,
                         (chosen, valid))
+
+
+def _sanitize_sketch(Y, fail, dtype):
+    """Keep the downdated sketch finite and boundedly scaled.
+
+    The trsm sketch downdate solves against a diagonal-clamped R11; on a
+    numerically deficient panel each block can amplify the live sketch
+    columns by ~1/clamp, and a few consecutive deficient blocks overflow
+    f32 to Inf. XLA's TPU LuDecomposition kernel HANGS/KILLS the worker
+    on Inf inputs (measured on this backend: a single Inf in a 2048×640
+    operand wedges the chip; NaN and huge-but-finite values are fine), so
+    the next block's pivot pass would take down the device instead of
+    degrading gracefully.
+
+    Two safeguards, both exact no-ops on healthy data:
+      * non-finite entries → 0 with ``fail`` raised (the repo convention:
+        failure is a returned flag, never NaN/Inf);
+      * a GLOBAL scalar rescale back to max|Y| ≤ 1e8 — pivot selection
+        and the sketch-R preconditioner are invariant under a global
+        scale of the sketch (R_sk picks up 1/α, panel·R_sk⁻¹ picks up α,
+        R11 = R_chol·R_sk cancels it), so this changes nothing but the
+        overflow headroom. ``scale == 1.0`` (the healthy case) divides
+        bitwise-exactly.
+    """
+    finite = jnp.isfinite(Y)
+    bad = ~jnp.all(finite)
+    Y = jnp.where(finite, Y, 0.0)
+    mx = jnp.max(jnp.abs(Y))
+    scale = jnp.maximum(mx / jnp.asarray(1e8, dtype), 1.0)
+    return Y / scale, fail | bad
 
 
 def _safe_triu_diag(R, dtype):
@@ -273,6 +307,7 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
             _safe_triu_diag(R11, dtype), A_sk_panel,
             left_side=False, lower=False)
         A_sk = A_sk - jnp.matmul(SQ, T, precision=precision)
+        A_sk, fail = _sanitize_sketch(A_sk, fail, dtype)
 
         # -- commit -------------------------------------------------------
         Qp = jax.lax.dynamic_update_slice(Qp, Q_panel, (0, g0 + c))
@@ -611,6 +646,7 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
             _safe_triu_diag(R11, dtype), Ysk_p,
             left_side=False, lower=False) * s[None, :]
         Y = Y - jnp.matmul(B, R12, precision=precision) * live2[None, :]
+        Y, fail = _sanitize_sketch(Y, fail, dtype)
 
         # -- commit ------------------------------------------------------
         # remainder blocks (b < T-slot width) pad T with identity; the

@@ -273,5 +273,8 @@ def lu_pivot_columns(A_panel_t: jax.Array):
     Returns the full length-n permutation (first d entries are the chosen
     pivot columns, in order).
     """
+    # TPU LU wedges the worker on Inf operands (drivers/bqrrp.py::
+    # _sanitize_sketch) — non-finite columns carry no pivot information
+    A_panel_t = jnp.where(jnp.isfinite(A_panel_t), A_panel_t, 0.0)
     _, _, perm = jax.lax.linalg.lu(A_panel_t)
     return perm.astype(jnp.int32)

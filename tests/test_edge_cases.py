@@ -215,3 +215,64 @@ class TestGeneratorWideShapes:
         assert bool(jnp.all(jnp.isfinite(Q)))
         assert bool(jnp.all(jnp.isfinite(R)))
         assert bool(fail)
+
+
+class TestInfSanitization:
+    """XLA's TPU LU kernel wedges the worker on Inf operands (round-3
+    on-chip bisect: a single Inf in a 2048x640 input hangs the chip; the
+    b=512 full-width-LU BQRRP config overflowed its trsm-downdated sketch
+    to Inf and killed the worker). Every lu() input is now sanitized and
+    the downdated sketch is kept finite + boundedly scaled — these pin
+    the sanitize semantics on CPU."""
+
+    def test_sanitize_sketch_rescales_and_flags(self):
+        from randlapack_tpu.drivers.bqrrp import _sanitize_sketch
+        Y = jnp.ones((8, 16), jnp.float32) * 1e12
+        Y2, fail = _sanitize_sketch(Y, jnp.asarray(False), jnp.float32)
+        assert not bool(fail)                      # finite input: no flag
+        assert float(jnp.max(jnp.abs(Y2))) <= 1e8 * (1 + 1e-6)
+        # global rescale: column-norm ORDER unchanged
+        Yr = jax.random.normal(jax.random.key(0), (8, 16), jnp.float32)
+        Yr2, _ = _sanitize_sketch(Yr * 1e12, jnp.asarray(False),
+                                  jnp.float32)
+        o1 = np.argsort(np.asarray(jnp.sum(Yr * Yr, axis=0)))
+        o2 = np.argsort(np.asarray(jnp.sum(Yr2 * Yr2, axis=0)))
+        np.testing.assert_array_equal(o1, o2)
+        # healthy data passes through bitwise (scale == 1.0)
+        Yh2, fail_h = _sanitize_sketch(Yr, jnp.asarray(False), jnp.float32)
+        np.testing.assert_array_equal(np.asarray(Yh2), np.asarray(Yr))
+        assert not bool(fail_h)
+        # non-finite entries -> 0 with the flag raised
+        Yb = Yr.at[2, 3].set(jnp.inf).at[4, 5].set(jnp.nan)
+        Yb2, fail_b = _sanitize_sketch(Yb, jnp.asarray(False), jnp.float32)
+        assert bool(fail_b)
+        assert bool(jnp.all(jnp.isfinite(Yb2)))
+
+    def test_lu_pivot_columns_inf_safe(self):
+        from randlapack_tpu.ops.qr import lu_pivot_columns
+        A = jax.random.normal(jax.random.key(1), (32, 8), jnp.float64)
+        A = A.at[:, 2].set(jnp.inf)
+        perm = lu_pivot_columns(A)
+        assert sorted(np.asarray(perm).tolist()) == list(range(32))
+
+    def test_stabilize_plu_inf_flags(self):
+        from randlapack_tpu.comps.orth import Stab, stabilize
+        A = jax.random.normal(jax.random.key(2), (24, 6), jnp.float64)
+        B, fail = stabilize(A, Stab.plu)
+        assert not bool(fail) and bool(jnp.all(jnp.isfinite(B)))
+        B2, fail2 = stabilize(A.at[3, 3].set(jnp.inf), Stab.plu)
+        assert bool(fail2) and bool(jnp.all(jnp.isfinite(B2)))
+
+    def test_bqrrp_b512_wide_lu_config_cpu(self):
+        """The exact worker-killer config class (full-width LU pivots,
+        b = n/4), CPU-sized: must stay correct with no flag."""
+        from randlapack_tpu.drivers import BQRRPConfig, bqrrp
+        from randlapack_tpu.gen import fast_decay_matrix
+        A, st = fast_decay_matrix(256, 256, RNGState(3), dtype=jnp.float64,
+                                  decay=9.0)
+        Q, R, J, rank, fail, _ = bqrrp(A, BQRRPConfig(block_size=64), st)
+        hp = jax.lax.Precision.HIGHEST
+        res = float(jnp.linalg.norm(
+            jnp.matmul(Q, R, precision=hp) - jnp.take(A, J, axis=1))
+            / jnp.linalg.norm(A))
+        assert res < 1e-10 and not bool(fail)
