@@ -28,18 +28,39 @@ def _solve_rt(A, R, precision=None):
         R, A, left_side=False, lower=False, transpose_a=False)
 
 
+def _finite_scaled(A):
+    """Sanitize + scale-guard an orthogonalization input: non-finite
+    entries → 0 (reported), and a GLOBAL rescale so the Gram matrix
+    cannot overflow (max|A|² · m must stay below dtype max — preconditioned
+    panels can carry huge-but-finite entries when the preconditioner's
+    clamped diagonal hides a deficient column, and an Inf reaching a TPU
+    dense-linalg kernel can wedge the worker; see
+    drivers/bqrrp.py::_sanitize_sketch). Healthy inputs pass through
+    bitwise (scale == 1.0). Returns ``(A_scaled, scale, nonfinite)``."""
+    m, n = A.shape
+    finite = jnp.isfinite(A)
+    nonfin = ~jnp.all(finite)
+    A = jnp.where(finite, A, 0.0)
+    # bound so even trace(AᵀA) = ‖A‖_F² (shifted variant's shift) is safe
+    big = jnp.sqrt(jnp.finfo(A.dtype).max / (8.0 * m * n))
+    s = jnp.maximum(jnp.max(jnp.abs(A)) / big, 1.0).astype(A.dtype)
+    return A / s, s, nonfin
+
+
 def cholqr(A: jax.Array, precision=STABLE_PRECISION):
     """One-pass CholeskyQR. Returns ``(Q, R, fail)``.
 
     fail is a bool scalar: True iff the Cholesky broke down (Gram matrix
-    numerically indefinite) — the caller decides the fallback, like the
-    reference's CholQRQ ``chol_fail`` flag.
+    numerically indefinite) or the input carried non-finite entries — the
+    caller decides the fallback, like the reference's CholQRQ
+    ``chol_fail`` flag.
     """
+    A, s, nonfin = _finite_scaled(A)
     G = _gram(A, precision)
     L = jax.lax.linalg.cholesky(G)  # lower; NaN on failure
-    fail = jnp.any(jnp.isnan(L)) | jnp.any(jnp.diag(L) <= 0)
-    R = L.T
-    Q = _solve_rt(A, R)
+    fail = jnp.any(jnp.isnan(L)) | jnp.any(jnp.diag(L) <= 0) | nonfin
+    R = L.T * s          # Q is scale-invariant; R carries the scale back
+    Q = _solve_rt(A, L.T)
     return Q, R, fail
 
 
@@ -62,15 +83,16 @@ def shifted_cholqr3(A: jax.Array, precision=STABLE_PRECISION):
     """
     m, n = A.shape
     eps = jnp.finfo(A.dtype).eps
+    A, sc, nonfin = _finite_scaled(A)   # rescue-path entry: guard first
     G = _gram(A, precision)
     s = 11.0 * eps * n * jnp.trace(G)  # trace(AᵀA) = ‖A‖_F²
     L1 = jax.lax.linalg.cholesky(G + s * jnp.eye(n, dtype=A.dtype))
-    f1 = jnp.any(jnp.isnan(L1))
+    f1 = jnp.any(jnp.isnan(L1)) | nonfin
     Q1 = _solve_rt(A, L1.T)
     Q2, R2, f2 = cholqr(Q1, precision)
     Q, R3, f3 = cholqr(Q2, precision)
     R = jnp.matmul(R3, jnp.matmul(R2, L1.T, precision=precision),
-                   precision=precision)
+                   precision=precision) * sc
     return Q, R, f1 | f2 | f3
 
 

