@@ -225,7 +225,12 @@ def _safe_triu_diag(R, dtype):
     as in the reference (a-posteriori rank logic, rl_cqrrpt.hh:311-332)."""
     eps = jnp.finfo(dtype).eps
     d = jnp.diag(R)
-    ref = jnp.max(jnp.abs(d)) * eps + eps
+    mx = jnp.max(jnp.abs(d))
+    # purely RELATIVE floor: an absolute +eps term would swamp every
+    # diagonal of a legitimately small-normed R (e.g. input scaled by
+    # 2^-60) and turn the solve into garbage; mx·eps commutes with
+    # power-of-2 input scales. mx == 0 (zero matrix) falls back to 1.
+    ref = jnp.where(mx > 0.0, mx * eps, jnp.asarray(1.0, dtype))
     dsafe = jnp.where(jnp.abs(d) > ref, d, ref)
     return R - jnp.diag(d) + jnp.diag(dsafe)
 
@@ -580,12 +585,18 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
                 # quality collapse was exactly this Cholesky)
                 R_sk = _safe_triu_diag(qr_econ(Ysk_p)[1], dtype)
             else:
-                G_sk = jnp.matmul(Ysk_p.T, Ysk_p, precision=precision)
+                # pow2 band-normalize before the Gram: a uniformly tiny
+                # sketch (input scaled ~2^-60) underflows G_sk toward the
+                # denormal floor and silently destroys the preconditioner
+                # (ops/cholqr.py::_finite_scaled has the full story)
+                from ..ops.cholqr import _finite_scaled
+                Ysk_n, s_y, _ = _finite_scaled(Ysk_p)
+                G_sk = jnp.matmul(Ysk_n.T, Ysk_n, precision=precision)
                 L_sk = jax.lax.linalg.cholesky(G_sk)
                 badsk = jnp.any(jnp.isnan(L_sk))
                 R_sk = _safe_triu_diag(
-                    jnp.where(badsk, jnp.eye(b, dtype=dtype), L_sk.T),
-                    dtype)
+                    jnp.where(badsk, jnp.eye(b, dtype=dtype),
+                              L_sk.T * s_y), dtype)
             Q_panel, R11, failp = preconditioned_cholqr(panel_m, R_sk,
                                                         precision)
         if cfg.panel_reorth:

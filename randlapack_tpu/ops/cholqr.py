@@ -41,9 +41,21 @@ def _finite_scaled(A):
     finite = jnp.isfinite(A)
     nonfin = ~jnp.all(finite)
     A = jnp.where(finite, A, 0.0)
-    # bound so even trace(AᵀA) = ‖A‖_F² (shifted variant's shift) is safe
-    big = jnp.sqrt(jnp.finfo(A.dtype).max / (8.0 * m * n))
-    s = jnp.maximum(jnp.max(jnp.abs(A)) / big, 1.0).astype(A.dtype)
+    fi = jnp.finfo(A.dtype)
+    # safe band: above `big`, trace(AᵀA) = ‖A‖_F² (the shifted variant's
+    # shift) overflows; below `small`, the Gram underflows toward the
+    # denormal floor and Cholesky loses the column geometry (observed:
+    # f32 inputs at 1e-18 flip pivot decisions). Outside the band,
+    # normalize to max|A| = 1 — Q is invariant, R carries the scale.
+    big = jnp.sqrt(fi.max / (8.0 * m * n))
+    small = jnp.asarray(fi.eps, A.dtype) ** 2
+    mx = jnp.max(jnp.abs(A))
+    in_band = ((mx <= big) & (mx >= small)) | (mx == 0.0)
+    # power-of-2 normalization: an exponent-only shift commutes bitwise
+    # with every f32 op (no mantissa rounding), so out-of-band inputs
+    # factor to EXACTLY the in-band run's Q and pivots
+    s = jnp.where(in_band, jnp.asarray(1.0, A.dtype),
+                  jnp.exp2(jnp.round(jnp.log2(mx))).astype(A.dtype))
     return A / s, s, nonfin
 
 

@@ -233,3 +233,54 @@ class TestDistSweep:
                 jnp.matmul(Q, R[:Q.shape[1]], precision=hp) - AJ)
                 / max(float(jnp.linalg.norm(A)), 1e-300))
             assert bool(fail) or res < 1e-9, (trial, drv, p, m, n, res)
+
+
+class TestScaleInvariance:
+    """Round-3 guards (sketch rescale, CholQR scale guard) promise exact
+    global-scale equivariance: J and Q invariant, R linear in the scale.
+    Pin it across extreme f32 scales — the guard territory."""
+
+    def test_qr_drivers_scale_equivariant(self):
+        from randlapack_tpu.drivers import (BQRRPConfig, CQRRPTConfig,
+                                            bqrrp_factored, bqrrp_q,
+                                            cqrrpt)
+        A64, st = mat_gen(MatGenInfo(96, 64, MatType.exponential,
+                                     cond_num=1e3), RNGState(900))
+        A = A64.astype(jnp.float32)
+        cfg = BQRRPConfig(block_size=16)
+        fac0, _ = bqrrp_factored(A, cfg, st)
+        # powers of 2: an exponent-only scale commutes bitwise with f32
+        # arithmetic (given the band guards), so J must match EXACTLY;
+        # arbitrary scales perturb rounding and may flip pivot ties
+        for scale in [2.0 ** -60, 2.0 ** 60]:
+            s = jnp.float32(scale)
+            fac, _ = bqrrp_factored(A * s, cfg, st)
+            np.testing.assert_array_equal(np.asarray(fac.J),
+                                          np.asarray(fac0.J))
+            np.testing.assert_allclose(np.asarray(fac.R) / scale,
+                                       np.asarray(fac0.R),
+                                       rtol=2e-5, atol=2e-5
+                                       * float(jnp.max(jnp.abs(fac0.R))))
+            Q0 = np.asarray(bqrrp_q(fac0))
+            Q1 = np.asarray(bqrrp_q(fac))
+            np.testing.assert_allclose(Q1, Q0, atol=5e-5)
+        At = jnp.concatenate([A, A], axis=0)   # taller for cqrrpt
+        Q0, R0, J0, r0, f0, _ = cqrrpt(At, CQRRPTConfig(), st)
+        Qs, Rs, Js, rs, fs, _ = cqrrpt(At * jnp.float32(2.0 ** 50),
+                                       CQRRPTConfig(), st)
+        np.testing.assert_array_equal(np.asarray(Js), np.asarray(J0))
+        np.testing.assert_allclose(np.asarray(Rs) / 2.0 ** 50,
+                                   np.asarray(R0), rtol=2e-5,
+                                   atol=2e-5 * float(jnp.max(jnp.abs(R0))))
+
+    def test_cholqr_scale_equivariant_f32(self):
+        from randlapack_tpu.ops.cholqr import cholqr
+        hp = jax.lax.Precision.HIGHEST
+        A = (mat_gen(MatGenInfo(128, 16, MatType.gaussian),
+                     RNGState(901))[0]).astype(jnp.float32)
+        Q0, R0, f0 = cholqr(A, hp)
+        for scale in [1e-20, 1e20, 1e30]:
+            Q, R, f = cholqr(A * jnp.float32(scale), hp)
+            assert not bool(f), scale
+            np.testing.assert_allclose(np.asarray(Q), np.asarray(Q0),
+                                       atol=1e-5)
