@@ -79,7 +79,9 @@ def _qr_explicit(W, key, cfg: ABRIKConfig, precision):
     _, R_sk = qr_econ(Wsk)
     eps = jnp.finfo(dtype).eps
     dg = jnp.diag(R_sk)
-    ref = jnp.max(jnp.abs(dg)) * eps + eps
+    # relative floor only (see bqrrp._safe_triu_diag)
+    mxd = jnp.max(jnp.abs(dg))
+    ref = jnp.where(mxd > 0.0, mxd * eps, jnp.asarray(1.0, dtype))
     R_sk = R_sk - jnp.diag(dg) + jnp.diag(jnp.where(jnp.abs(dg) > ref,
                                                     dg, ref))
     from ..ops.cholqr import preconditioned_cholqr

@@ -270,7 +270,10 @@ def _cqrrt_linops_impl(A, cfg, state, precision, timing):
         _, R_sk = jax.lax.linalg.qr(A_sk, full_matrices=False)
         eps = jnp.finfo(A_sk.dtype).eps
         dg = jnp.diag(R_sk)
-        ref = jnp.max(jnp.abs(dg)) * eps + eps
+        # relative floor only (see bqrrp._safe_triu_diag)
+        mxd = jnp.max(jnp.abs(dg))
+        ref = jnp.where(mxd > 0.0, mxd * eps,
+                        jnp.asarray(1.0, A_sk.dtype))
         R_sk = R_sk - jnp.diag(dg) + jnp.diag(
             jnp.where(jnp.abs(dg) > ref, dg, ref))
         if timing:

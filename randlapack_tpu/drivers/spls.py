@@ -55,7 +55,10 @@ def spls(A: jax.Array, b: jax.Array, mu, cfg: SPLSConfig, state: RNGState,
         _, R_sk = jax.lax.linalg.qr(A_sk, full_matrices=False)
         eps = jnp.finfo(A.dtype).eps
         dg = jnp.diag(R_sk)
-        ref = jnp.max(jnp.abs(dg)) * eps + eps
+        # relative floor only: an absolute +eps would swamp every diagonal
+        # of a small-normed sketch (see bqrrp._safe_triu_diag)
+        mxd = jnp.max(jnp.abs(dg))
+        ref = jnp.where(mxd > 0.0, mxd * eps, jnp.asarray(1.0, A.dtype))
         R_sk = R_sk - jnp.diag(dg) + jnp.diag(
             jnp.where(jnp.abs(dg) > ref, dg, ref))
         M = jax.lax.linalg.triangular_solve(

@@ -284,3 +284,24 @@ class TestScaleInvariance:
             assert not bool(f), scale
             np.testing.assert_allclose(np.asarray(Q), np.asarray(Q0),
                                        atol=1e-5)
+
+    def test_abrik_spls_small_scale(self):
+        """The R_sk floors in abrik/spls/cholqr_linops are now relative:
+        uniformly tiny inputs must factor/solve as well as O(1) ones."""
+        from randlapack_tpu.drivers import (ABRIKConfig, SPLSConfig, abrik,
+                                            spls)
+        s = jnp.float64(2.0 ** -60)
+        A, st = mat_gen(MatGenInfo(150, 60, MatType.exponential,
+                                   cond_num=1e4), RNGState(902))
+        U0, S0, Vt0, info0, _ = abrik(
+            A, 8, ABRIKConfig(block_size=8, max_iters=8), RNGState(903))
+        U1, S1, Vt1, info1, _ = abrik(
+            A * s, 8, ABRIKConfig(block_size=8, max_iters=8), RNGState(903))
+        np.testing.assert_allclose(np.asarray(S1) / float(s),
+                                   np.asarray(S0), rtol=1e-12)
+        xt = jax.random.normal(jax.random.key(904), (60,), jnp.float64)
+        b = A @ xt
+        x0, _, it0, _ = spls(A, b, 0.0, SPLSConfig(), RNGState(905))
+        x1, _, it1, _ = spls(A * s, b * s, 0.0, SPLSConfig(), RNGState(905))
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                                   rtol=1e-10)
