@@ -1,0 +1,252 @@
+"""Standalone fresh-seed fuzz driver — run each round with NEW seeds
+(CLAUDE.md: the config-boundary grids found 7 real bugs in round 2 and
+the Inf/scale class in round 3; test_property_sweeps.py holds the pinned
+reductions). Covers every driver family incl. the distributed track,
+with random global scales (2^+-80, 10^+-25) exercising the finite/scale
+guards. CPU/f64, invariant checks only.
+
+Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       python tools/fuzz_sweep.py SEED TRIALS
+Round-3 batches: seeds 20260817/816234/5550123/31337808, 520 trials, 0
+real bugs after the round-3 fixes (2 early flags were an over-strict
+ABRIK criterion at the exact Krylov boundary q*b = 4k on flat spectra).
+"""
+import random
+import sys
+import traceback
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import os
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax.numpy as jnp
+import numpy as np
+
+from randlapack_tpu import RNGState
+from randlapack_tpu.gen import MatGenInfo, MatType, mat_gen
+
+hp = jax.lax.Precision.HIGHEST
+SEED = int(sys.argv[1]) if len(sys.argv) > 1 else 12345
+TRIALS = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+rng = random.Random(SEED)
+fails = 0
+
+
+def check_qr(tag, A, Q, R, J, fail):
+    global fails
+    n = A.shape[1]
+    kq = Q.shape[1]
+    AJ = jnp.take(A, J, axis=1)
+    res = float(jnp.linalg.norm(jnp.matmul(Q, R[:kq], precision=hp) - AJ)
+                / max(float(jnp.linalg.norm(A)), 1e-300))
+    ok_piv = sorted(np.asarray(J).tolist()) == list(range(n))
+    if not ok_piv or not (bool(fail) or res < 1e-9):
+        fails += 1
+        print(f"FAIL {tag}: res={res:.3e} piv_ok={ok_piv}", flush=True)
+
+
+mts = [MatType.polynomial, MatType.exponential, MatType.gaussian,
+       MatType.step]
+
+def rand_scale(rng):
+    # mostly power-of-2 extremes (the guard band), sometimes arbitrary
+    k = rng.choice([0, 0, -80, -60, -30, 30, 60, 80])
+    if rng.random() < 0.3:
+        return 10.0 ** rng.choice([-25, -12, 12, 25])
+    return 2.0 ** k
+
+
+for trial in range(TRIALS):
+    kind = rng.choice(["bqrrp", "factored", "hqrrp", "cqrrpt", "spls",
+                       "dist", "dist_spls", "abrik"])
+    scale = rand_scale(rng)
+    tag = f"t{trial}:{kind}:s{scale:.0e}"
+    try:
+        if kind in ("bqrrp", "factored", "hqrrp", "cqrrpt"):
+            from randlapack_tpu.drivers import (BQRRPConfig, CQRRPTConfig,
+                                                HQRRPConfig, PanelQR,
+                                                QRCPKind, bqrrp,
+                                                bqrrp_factored, bqrrp_q,
+                                                cqrrpt, hqrrp)
+            m = rng.choice([33, 64, 97, 150, 256, 320])
+            n = rng.choice([30, 64, 100, 190, 256])
+            b = rng.choice([8, 16, 32, 48, 64])
+            if kind == "cqrrpt" and m < 2 * n:
+                m = 4 * n
+            A, st = mat_gen(MatGenInfo(m, n, rng.choice(mts),
+                                       cond_num=10 ** rng.choice(
+                                           [1, 3, 6, 9])),
+                            RNGState(SEED + trial))
+            A = A * scale
+            tag += f" m{m} n{n} b{b}"
+            if kind == "bqrrp":
+                cfg = BQRRPConfig(block_size=b, stages=rng.choice([1, 2, 3]),
+                                  pivot_candidates=rng.choice([None, 2, 4]),
+                                  d_factor=rng.choice([1.0, 1.25, 2.0]))
+                Q, R, J, rank, fail, _ = bqrrp(A, cfg, st)
+                check_qr(tag, A, Q, R, J, fail)
+            elif kind == "factored":
+                cfg = BQRRPConfig(block_size=b,
+                                  update_defer=rng.choice([1, 2, 3]),
+                                  sketch_r=rng.choice(["auto", "qr",
+                                                       "gram"]),
+                                  pivot_candidates=rng.choice([None, 2]))
+                fac, _ = bqrrp_factored(A, cfg, st)
+                check_qr(tag, A, bqrrp_q(fac), fac.R, fac.J, fac.fail)
+            elif kind == "hqrrp":
+                cfg = HQRRPConfig(block_size=b,
+                                  oversample=rng.choice([0, 5, 10]),
+                                  panel_qr=rng.choice(list(PanelQR)))
+                Q, R, J, rank, fail, _ = hqrrp(A, cfg, st)
+                check_qr(tag, A, Q, R, J, fail)
+            else:
+                cfg = CQRRPTConfig(
+                    sketch=rng.choice(["saso", "srht", "gaussian"]),
+                    qrcp=rng.choice(list(QRCPKind)),
+                    bqrrp_block=rng.choice([16, 32]),
+                    bqrrp_stages=rng.choice([1, 2]),
+                    bqrrp_pivot_candidates=rng.choice([None, 2, 4]),
+                    d_factor=rng.choice([1.25, 2.0, 4.0]),
+                    orthogonalization=rng.random() < 0.3)
+                Q, R, J, rank, fail, _ = cqrrpt(A, cfg, st)
+                check_qr(tag, A, Q[:, :int(rank)], R[:int(rank)], J, fail)
+        elif kind == "spls":
+            from randlapack_tpu.drivers import SPLSConfig, spls
+            from randlapack_tpu.comps import PCGSaddleConfig
+            m, n = rng.choice([(300, 40), (500, 80), (800, 120)])
+            mu = rng.choice([0.0, 1e-6, 1e-3])
+            A, _ = mat_gen(MatGenInfo(m, n, MatType.exponential,
+                                      cond_num=10 ** rng.choice([2, 4, 6])),
+                           RNGState(SEED + trial))
+            xt = jax.random.normal(jax.random.key(trial), (n,), jnp.float64)
+            bvec = A @ xt
+            solver = rng.choice(["pcg", "lsqr"])
+            tag += f" m{m} n{n} {solver} mu{mu}"
+            cfg = SPLSConfig(solver=solver,
+                             pcg=PCGSaddleConfig(tol=1e-12, max_iters=300),
+                             d_factor=rng.choice([2.0, 4.0, 8.0]))
+            x, hist, it, _ = spls(A, bvec, mu, cfg, RNGState(SEED + 7))
+            r = (jnp.matmul(A.T, jnp.matmul(A, x, precision=hp) - bvec,
+                            precision=hp) + mu * x)
+            opt = float(jnp.linalg.norm(r) / jnp.linalg.norm(
+                jnp.matmul(A.T, bvec, precision=hp)))
+            if not opt < 1e-7:
+                fails += 1
+                print(f"FAIL {tag}: opt={opt:.3e}", flush=True)
+        elif kind == "abrik":
+            from randlapack_tpu.drivers import ABRIKConfig, abrik
+            m = rng.choice([100, 150, 220])
+            n = rng.choice([60, 90])
+            k = rng.choice([4, 8])
+            bs = rng.choice([4, 8])
+            q = rng.choice([4, 8, 20])
+            A, st = mat_gen(MatGenInfo(m, n, rng.choice(mts),
+                                       cond_num=10 ** rng.choice([2, 6])),
+                            RNGState(SEED + trial))
+            tag += f" m{m} n{n} k{k} b{bs} q{q}"
+            cfg = ABRIKConfig(block_size=bs, max_iters=q,
+                              qr_explicit=rng.choice(["geqrf", "cqrrt"]))
+            U, S, Vt, info, _ = abrik(A, k, cfg, st)
+            sv = np.linalg.svd(np.asarray(A), compute_uv=False)
+            if q * bs >= 8 * k:   # 4k is the flat-spectrum boundary
+                rel = float(np.max(np.abs(np.asarray(S[:2]) - sv[:2])
+                                   / sv[:2]))
+                if rel > 1e-6:
+                    fails += 1
+                    print(f"FAIL {tag}: sv rel={rel:.3e}", flush=True)
+            orth = float(jnp.linalg.norm(
+                jnp.matmul(U.T, U, precision=hp) - jnp.eye(U.shape[1])))
+            if orth > 1e-8:
+                fails += 1
+                print(f"FAIL {tag}: orth={orth:.3e}", flush=True)
+        elif kind in ("dist", "dist_spls"):
+            if len(jax.devices()) < 8:
+                continue
+            from jax.sharding import Mesh
+            from randlapack_tpu.parallel import (dist_bqrrp, dist_cqrrpt,
+                                                 dist_hqrrp, dist_rsvd,
+                                                 dist_spls, row_sharded)
+            p = rng.choice([2, 4, 8])
+            mesh = Mesh(np.array(jax.devices()[:p]).reshape(p), ("rows",))
+            if kind == "dist_spls":
+                m = rng.choice([40, 60]) * p
+                n = rng.choice([24, 40])
+                A, _ = mat_gen(MatGenInfo(m, n, MatType.exponential,
+                                          cond_num=10 ** rng.choice(
+                                              [2, 5])),
+                               RNGState(SEED + trial))
+                xt = jax.random.normal(jax.random.key(trial), (n,),
+                                       jnp.float64)
+                bvec = A @ xt
+                mu = rng.choice([0.0, 1e-5])
+                tag += f" p{p} m{m} n{n} mu{mu}"
+                As = jax.device_put(A, row_sharded(mesh))
+                x, hist, it, _ = dist_spls(As, bvec, mu, mesh,
+                                           RNGState(SEED + 3),
+                                           tol=1e-12, max_iters=150)
+                r = (jnp.matmul(A.T, jnp.matmul(A, x, precision=hp)
+                                - bvec, precision=hp) + mu * x)
+                opt = float(jnp.linalg.norm(r) / jnp.linalg.norm(
+                    jnp.matmul(A.T, bvec, precision=hp)))
+                if not opt < 1e-8:
+                    fails += 1
+                    print(f"FAIL {tag}: opt={opt:.3e}", flush=True)
+            else:
+                m = rng.choice([16, 24, 32]) * p
+                n = rng.choice([32, 48])
+                A, st = mat_gen(MatGenInfo(m, n, MatType.exponential,
+                                           cond_num=10 ** rng.choice(
+                                               [2, 5])),
+                                RNGState(SEED + trial))
+                drv = rng.choice(["bqrrp", "cqrrpt", "hqrrp", "rsvd",
+                                  "cqrrt", "revd2"])
+                tag += f" p{p} {drv} m{m} n{n}"
+                if drv == "cqrrt":
+                    from randlapack_tpu.parallel import dist_cqrrt
+                    Qc, Rc, fc, _ = dist_cqrrt(A, mesh, st)
+                    resc = float(jnp.linalg.norm(
+                        jnp.matmul(Qc, Rc, precision=hp) - A)
+                        / jnp.linalg.norm(A))
+                    if not (bool(fc) or resc < 1e-9):
+                        fails += 1
+                        print(f"FAIL {tag}: res={resc:.3e}", flush=True)
+                    print(f"ok {tag}", flush=True)
+                    continue
+                if drv == "revd2":
+                    from randlapack_tpu.parallel import dist_revd2
+                    P = jnp.matmul(A.T, A, precision=hp)
+                    P = P / float(jnp.linalg.norm(P))
+                    Vv, lam, errv, nuv, fv, _ = dist_revd2(
+                        P, 8, mesh, st, error_est_passes=4)
+                    orthv = float(jnp.linalg.norm(
+                        jnp.matmul(Vv.T, Vv, precision=hp) - jnp.eye(8)))
+                    if not (bool(fv) or orthv < 1e-9):
+                        fails += 1
+                        print(f"FAIL {tag}: orth={orthv:.3e}", flush=True)
+                    print(f"ok {tag}", flush=True)
+                    continue
+                if drv == "rsvd":
+                    k = 8
+                    U, S, Vt, fail, _ = dist_rsvd(A, k, mesh, st)
+                    orth = float(jnp.linalg.norm(
+                        jnp.matmul(U.T, U, precision=hp) - jnp.eye(k)))
+                    if not (bool(fail) or orth < 1e-8):
+                        fails += 1
+                        print(f"FAIL {tag}: orth={orth:.3e}", flush=True)
+                    continue
+                fn = {"bqrrp": dist_bqrrp, "cqrrpt": dist_cqrrpt,
+                      "hqrrp": dist_hqrrp}[drv]
+                kw = {} if drv == "cqrrpt" else {"block_size": 16}
+                Q, R, J, rank, fail, _ = fn(A, mesh, st, **kw)
+                check_qr(tag, A, Q, R, J, fail)
+        print(f"ok {tag}", flush=True)
+    except Exception:
+        fails += 1
+        print(f"EXC {tag}", flush=True)
+        traceback.print_exc()
+
+print(f"DONE seed={SEED} trials={TRIALS} fails={fails}", flush=True)
+sys.exit(1 if fails else 0)
