@@ -82,6 +82,18 @@ class HQRRPConfig:
                                    # over (set by dist_hqrrp): A and the
                                    # sketch operator G stay sharded, the
                                    # small Y/T/R stay replicated
+    update_defer: int = 1         # aggregate this many consecutive blocks'
+                                  # compact-WY trailing updates and apply
+                                  # them as ONE k = defer·b GEMM (the same
+                                  # left-looking telescoping as
+                                  # bqrrp.BQRRPConfig.update_defer): at the
+                                  # speed-optimal b = 128 the per-block
+                                  # trailing GEMMs are 4x thinner than the
+                                  # BQRRP headline's, so widening k is
+                                  # worth real shape efficiency here.
+                                  # Pivot selection, panel math and the
+                                  # exact sketch downdate still run per
+                                  # block on lazily-corrected operands.
 
 
 def _cholqr_panel(panel, row0, precision):
@@ -125,15 +137,133 @@ def _cholqr_panel(panel, row0, precision):
 def _hqrrp_blocks(A, Y, G, order, taus_g, retired, fail, c0: int,
                   nblocks: int, bsz: int, cfg: HQRRPConfig, precision):
     """Process ``nblocks`` blocks of ``bsz`` columns starting at global
-    rank position ``c0`` (one jitted fori_loop)."""
+    rank position ``c0`` (one jitted fori_loop). With
+    ``cfg.update_defer > 1`` the trailing updates of each group of
+    ``defer`` blocks are aggregated into one wide GEMM (see
+    :func:`_hqrrp_subblock_deferred`)."""
     m, n = A.shape
     d = Y.shape[0]
-
-    def block(ib, carry):
-        return _hqrrp_block_step(carry, c0 + ib * bsz, bsz, cfg, precision)
+    g = max(1, min(int(cfg.update_defer), nblocks))
+    if cfg.shard_axis is not None:
+        g = 1   # the sharded path keeps the per-block psum'd updates
 
     carry = (A, Y, G, order, taus_g, retired, fail)
-    return jax.lax.fori_loop(0, nblocks, block, carry)
+    if g == 1:
+        def block(ib, carry):
+            return _hqrrp_block_step(carry, c0 + ib * bsz, bsz, cfg,
+                                     precision)
+        return jax.lax.fori_loop(0, nblocks, block, carry)
+
+    def make_group(gsz, off):
+        def group(gi, carry):
+            c_first = c0 + (off + gi * gsz) * bsz
+            Vg = Ug = Hg = None
+            for j in range(gsz):
+                Vg, Ug, Hg, carry = _hqrrp_subblock_deferred(
+                    carry, c_first + j * bsz, bsz, j, Vg, Ug, Hg, cfg,
+                    precision)
+            A, Y, G, order, taus_g, retired, fail = carry
+            # ONE wide k = gsz·b trailing update + the sketch-operator
+            # catch-up (retired columns already hold their exact final
+            # values, so they are excluded by the end-of-group mask)
+            live_end = 1.0 - retired
+            A = A - jnp.matmul(Vg, Ug * live_end[None, :],
+                               precision=precision)
+            G = G - jnp.matmul(Hg, Vg.T, precision=precision)
+            return (A, Y, G, order, taus_g, retired, fail)
+        return group
+
+    ngroups, grem = divmod(nblocks, g)
+    if ngroups:
+        carry = jax.lax.fori_loop(0, ngroups, make_group(g, 0), carry)
+    if grem:
+        carry = make_group(grem, ngroups * g)(0, carry)
+    return carry
+
+
+def _hqrrp_subblock_deferred(carry, c, bsz, j: int, Vg, Ug, Hg,
+                             cfg: HQRRPConfig, precision):
+    """One HQRRP block inside an update-deferred group (slot ``j``,
+    static): pivot selection and the exact sketch downdate run per block,
+    but the rank-b trailing update of A and the sketch-operator update of
+    G are APPENDED to the group aggregates instead of applied.
+
+    Telescoping identities (the same left-looking restructuring as
+    bqrrp's subblock): with per-block WY factors (V_i, T_i) and
+    U_i = T_iᵀ V_iᵀ A_(i-1),
+
+        A_j = A_stale − Σ_{i≤j} V_i U_i          (on each block's live set)
+        G_j = G_stale − Σ_{i≤j} H_i V_iᵀ,  H_i = (G_(i-1) V_i) T_i
+
+    so the true panel, Wk, the R12 rows, and the exact sketch-downdate
+    slice B = G_j[:, c:c+b] are all recoverable from the aggregates
+    (Vg, Ug, Hg) with thin corrections — the wide k = defer·b GEMMs are
+    applied once per group.
+    """
+    A, Y, G, order, taus_g, retired, fail = carry
+    m, n = A.shape
+    d = Y.shape[0]
+    live = 1.0 - retired
+
+    # 1. pivots from the exact (per-block downdated) sketch
+    from ..ops.pallas_qrcp import qrcp_select_pivots_routed
+    chosen = qrcp_select_pivots_routed(Y, bsz, live, precision,
+                                       use_pallas=cfg.pallas_qrcp)
+
+    # 2. panel factorization on the lazily-corrected true panel
+    panel = jnp.take(A, chosen, axis=1)
+    if j > 0:
+        panel = panel - jnp.matmul(Vg, jnp.take(Ug, chosen, axis=1),
+                                   precision=precision)
+    if cfg.panel_qr == PanelQR.cholqr:
+        W, V, taus, sigma, failp = _cholqr_panel(panel, c, precision)
+    else:
+        from ..ops.pallas_qrcp import qrcp_panel_routed
+        W, V, taus, sigma = qrcp_panel_routed(
+            panel, c, pivot=(cfg.panel_qr == PanelQR.qrcp),
+            precision=precision, use_pallas=cfg.pallas_panel)
+        failp = jnp.asarray(False)
+    chosen = jnp.take(chosen, sigma)
+    A = A.at[:, chosen].set(W)
+
+    # 3. deferred trailing update: U = Tᵀ Vᵀ A_true on the live columns
+    T, Vz = wy_T(V, taus, precision)
+    live2 = live.at[chosen].set(0.0)
+    Wk = jnp.matmul(Vz.T, A * live2[None, :], precision=precision)
+    if j > 0:
+        Wk = Wk - jnp.matmul(
+            jnp.matmul(Vz.T, Vg, precision=precision),
+            Ug * live2[None, :], precision=precision)
+    U = jnp.matmul(T.T, Wk, precision=precision)
+
+    # 4. exact sketch downdate from the lazily-corrected G
+    GV = jnp.matmul(G, Vz, precision=precision)
+    if j > 0:
+        GV = GV - jnp.matmul(
+            Hg, jnp.matmul(Vg.T, Vz, precision=precision),
+            precision=precision)
+    H = jnp.matmul(GV, T, precision=precision)            # (d, b)
+    B = jax.lax.dynamic_slice(G, (0, c), (d, bsz))
+    if j > 0:
+        Vg_rows = jax.lax.dynamic_slice(Vg, (c, 0), (bsz, Vg.shape[1]))
+        B = B - jnp.matmul(Hg, Vg_rows.T, precision=precision)
+    Vz_rows = jax.lax.dynamic_slice(Vz, (c, 0), (bsz, bsz))
+    B = B - jnp.matmul(H, Vz_rows.T, precision=precision)
+    R12 = jax.lax.dynamic_slice(A, (c, 0), (bsz, n))
+    if j > 0:
+        R12 = R12 - jnp.matmul(Vg_rows, Ug, precision=precision)
+    R12 = (R12 - jnp.matmul(Vz_rows, U, precision=precision)
+           ) * live2[None, :]
+    Y = Y - jnp.matmul(B, R12, precision=precision) * live2[None, :]
+
+    # commit + aggregate
+    order = jax.lax.dynamic_update_slice(order, chosen, (c,))
+    taus_g = jax.lax.dynamic_update_slice(taus_g, taus, (c,))
+    retired = retired.at[chosen].set(1.0)
+    Vg = Vz if j == 0 else jnp.concatenate([Vg, Vz], axis=1)
+    Ug = U if j == 0 else jnp.concatenate([Ug, U], axis=0)
+    Hg = H if j == 0 else jnp.concatenate([Hg, H], axis=1)
+    return Vg, Ug, Hg, (A, Y, G, order, taus_g, retired, fail | failp)
 
 
 def _hqrrp_block_step(carry, c, bsz, cfg: HQRRPConfig, precision,

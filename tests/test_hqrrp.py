@@ -257,3 +257,34 @@ class TestHQRRPRankDeficient:
         assert len(out) == 7
         phases = out[6]
         assert {"sketch", "blocks", "epilogue"} <= set(phases)
+
+
+class TestUpdateDefer:
+    def test_deferred_updates_match_per_block(self):
+        """update_defer's telescoped aggregates must reproduce the
+        per-block run: same pivot sequence, R to rounding, machine-grade
+        residual (the identities are exact; only GEMM grouping differs)."""
+        import numpy as np
+        from randlapack_tpu.gen import MatGenInfo, MatType, mat_gen
+        from randlapack_tpu import RNGState
+        hp = jax.lax.Precision.HIGHEST
+        A, st = mat_gen(MatGenInfo(150, 256, MatType.exponential,
+                                   cond_num=1e6), RNGState(5))
+        for pq in list(PanelQR):
+            base = hqrrp(A, HQRRPConfig(block_size=32, panel_qr=pq), st)
+            for defer in [2, 3]:
+                Q, R, J, rank, fail, _ = hqrrp(
+                    A, HQRRPConfig(block_size=32, panel_qr=pq,
+                                   update_defer=defer), st)
+                assert bool(jnp.all(J == base[2])), (pq, defer)
+                np.testing.assert_allclose(np.asarray(R),
+                                           np.asarray(base[1]),
+                                           atol=1e-13)
+                K = Q.shape[1]
+                res = float(jnp.linalg.norm(
+                    jnp.matmul(Q, R[:K], precision=hp)
+                    - jnp.take(A, J, axis=1)) / jnp.linalg.norm(A))
+                orth = float(jnp.linalg.norm(
+                    jnp.matmul(Q.T, Q, precision=hp) - jnp.eye(K)))
+                assert res < 1e-13 and orth < 1e-12, (pq, defer, res, orth)
+                assert not bool(fail)

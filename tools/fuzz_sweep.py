@@ -99,6 +99,7 @@ for trial in range(TRIALS):
             elif kind == "hqrrp":
                 cfg = HQRRPConfig(block_size=b,
                                   oversample=rng.choice([0, 5, 10]),
+                                  update_defer=rng.choice([1, 2, 3, 4]),
                                   panel_qr=rng.choice(list(PanelQR)))
                 Q, R, J, rank, fail, _ = hqrrp(A, cfg, st)
                 check_qr(tag, A, Q, R, J, fail)
