@@ -5,7 +5,7 @@ QRCP + the x64-on-TPU pivoted path).
 Same-process min-of-N; compares the Pallas panel kernels against the jnp
 fori_loop route when both fit the time budget.
 
-Usage: python benchmarks/hqrrp_speed.py [n] [b] [reps] [route]
+Usage: python benchmarks/hqrrp_speed.py [n] [b] [reps] [route] [defer]
     route in {auto, never, both, combos, sk, pan}; default auto.
     "combos" sweeps all four (sketch-kernel, panel-kernel) on/off pairs;
     "sk"/"pan" enable just the sketch / just the panel kernel.
@@ -33,12 +33,13 @@ _ROUTES = {  # name -> (pallas_qrcp, pallas_panel)
 }
 
 
-def run(n, b, reps, route):
+def run(n, b, reps, route, defer=1):
     hp = jax.lax.Precision.HIGHEST
     A, st = fast_decay_matrix(n, n, RNGState(0), dtype=jnp.float32)
     nrmA = float(jnp.linalg.norm(A))
     sk, pan = _ROUTES[route]
-    cfg = HQRRPConfig(block_size=b, pallas_qrcp=sk, pallas_panel=pan)
+    cfg = HQRRPConfig(block_size=b, pallas_qrcp=sk, pallas_panel=pan,
+                      update_defer=defer)
     t0 = time.perf_counter()
     Q, R, J, rank, fail, _ = hqrrp(A, cfg, st)
     _sync(R)
@@ -64,7 +65,7 @@ def run(n, b, reps, route):
         packed, taus, _, _, _ = hqrrp_lapack_format(A, cfg, st)
         _sync(packed)
         best_p = min(best_p, time.perf_counter() - t0)
-    print(f"hqrrp n={n} b={b} route={route:5s}: {best:8.3f}s  "
+    print(f"hqrrp n={n} b={b} d{defer} route={route:5s}: {best:8.3f}s  "
           f"{4/3*n**3/best/1e9:6.0f} GF/s  res {res:.2e}  orth {orth:.2e}  "
           f"fail={bool(fail)}  packed {best_p:.3f}s "
           f"({4/3*n**3/best_p/1e9:.0f} GF/s)  (compile {t_c:.0f}s)",
@@ -77,10 +78,11 @@ def main():
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     route = sys.argv[4] if len(sys.argv) > 4 else "auto"
+    defer = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     routes = {"both": ["auto", "never"],
               "combos": ["never", "sk", "pan", "auto"]}.get(route, [route])
     for r in routes:
-        run(n, b, reps, r)
+        run(n, b, reps, r, defer)
 
 
 if __name__ == "__main__":
