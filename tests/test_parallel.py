@@ -283,3 +283,20 @@ class TestDistLinopTrack:
                 jnp.matmul(A.T, b, precision=hp)))
             assert opt < 1e-9, (mu, opt)
             assert int(it) < 60, (mu, int(it))
+
+    def test_dist_spls_multi_rhs(self, mesh):
+        from randlapack_tpu.parallel import dist_spls
+        m, n, k = 640, 32, 3
+        A, _ = mat_gen(MatGenInfo(m, n, MatType.exponential, cond_num=1e4),
+                       RNGState(61))
+        B = jax.random.normal(jax.random.key(62), (m, k), jnp.float64)
+        As = jax.device_put(A, row_sharded(mesh))
+        X, hist, it, _ = dist_spls(As, B, 1e-6, mesh, RNGState(63),
+                                   tol=1e-12, max_iters=100)
+        assert X.shape == (n, k)
+        hp = jax.lax.Precision.HIGHEST
+        R = (jnp.matmul(A.T, jnp.matmul(A, X, precision=hp) - B,
+                        precision=hp) + 1e-6 * X)
+        opt = float(jnp.linalg.norm(R) / jnp.linalg.norm(
+            jnp.matmul(A.T, B, precision=hp)))
+        assert opt < 1e-9, opt
