@@ -146,14 +146,18 @@ def _cholqr_phase(A_pre, keep, R_sk_safe, precision):
     # block in the Gram — Cholesky nests, so the leading rank×rank factor
     # matches the reference's shrunken computation exactly
     n = A_pre.shape[1]
+    # band guard (ops/cholqr.py::_finite_scaled): the trsm against the
+    # clamped R_sk diagonal can leave huge/Inf columns on deficient
+    # inputs, and a Gram overflow would reach the TPU Cholesky kernel
+    from ..ops.cholqr import _finite_scaled
+    A_pre, s, nonfin = _finite_scaled(A_pre)
     G = (jnp.matmul(A_pre.T, A_pre, precision=precision)
          + jnp.diag(1.0 - keep))
     L = jax.lax.linalg.cholesky(G)
-    fail = jnp.any(jnp.isnan(L))
-    R_chol = L.T
+    fail = jnp.any(jnp.isnan(L)) | nonfin
     Q = jax.lax.linalg.triangular_solve(
-        R_chol, A_pre, left_side=False, lower=False)
-    R = jnp.matmul(R_chol, R_sk_safe, precision=precision)
+        L.T, A_pre, left_side=False, lower=False)
+    R = jnp.matmul(L.T * s, R_sk_safe, precision=precision)
     return Q, R, fail
 
 

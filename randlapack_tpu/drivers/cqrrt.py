@@ -67,10 +67,12 @@ def _sketch_jit(A, cfg, state, precision):
 def _sketch_qr(A_sk):
     _, R_sk = qr_econ(A_sk)
     eps = jnp.finfo(A_sk.dtype).eps
-    dref = jnp.max(jnp.abs(jnp.diag(R_sk))) * eps
+    # relative floor only (an absolute eps term swamps small-normed
+    # sketches — see bqrrp._safe_triu_diag); zero matrix falls back to 1
+    mx = jnp.max(jnp.abs(jnp.diag(R_sk)))
+    dref = jnp.where(mx > 0.0, mx * eps, jnp.asarray(1.0, A_sk.dtype))
     dsafe = jnp.where(jnp.abs(jnp.diag(R_sk)) > dref,
-                      jnp.diag(R_sk),
-                      jnp.maximum(dref, eps))
+                      jnp.diag(R_sk), dref)
     return R_sk - jnp.diag(jnp.diag(R_sk)) + jnp.diag(dsafe)
 
 
@@ -85,9 +87,11 @@ def _cqrrt_timed(A, cfg, state, precision):
     with timer.phase("qr"):
         R_sk = _sketch_qr(A_sk)
         device_sync(R_sk)
+    from ..ops.cholqr import _finite_scaled
     with timer.phase("precond"):
         A_pre = jax.jit(lambda r, a: jax.lax.linalg.triangular_solve(
             r, a, left_side=False, lower=False))(R_sk, A)
+        A_pre, s, nonfin = jax.jit(_finite_scaled)(A_pre)
         device_sync(A_pre)
     with timer.phase("gram"):
         G = jax.jit(lambda x: jnp.matmul(x.T, x, precision=precision))(
@@ -96,7 +100,7 @@ def _cqrrt_timed(A, cfg, state, precision):
     with timer.phase("potrf"):
         L = jax.jit(jax.lax.linalg.cholesky)(0.5 * (G + G.T))
         device_sync(L)
-    fail = jnp.any(jnp.isnan(L))
+    fail = jnp.any(jnp.isnan(L)) | nonfin
     Q = None
     if cfg.compute_q:
         with timer.phase("q"):
@@ -104,8 +108,9 @@ def _cqrrt_timed(A, cfg, state, precision):
                 l.T, x, left_side=False, lower=False))(L, A_pre)
             device_sync(Q)
     with timer.phase("finalize"):
-        R = jax.jit(lambda l, r: jnp.matmul(l.T, r, precision=precision))(
-            L, R_sk)
+        R = jax.jit(lambda l, r, ss: jnp.matmul(l.T * ss, r,
+                                                precision=precision))(
+            L, R_sk, s)
         device_sync(R)
     return Q, R, fail, state, timer.report()
 
@@ -132,21 +137,24 @@ def _cqrrt_jit(A: jax.Array, cfg: CQRRTConfig, state: RNGState,
     A_sk, state = _sketch(A, d, cfg, state, precision)
     _, R_sk = qr_econ(A_sk)                       # d×n sketch QR, R n×n
     # guard exact zeros on the diagonal so triangular_solve stays finite
+    # (relative floor only — see _sketch_qr)
     eps = jnp.finfo(A.dtype).eps
-    dref = jnp.max(jnp.abs(jnp.diag(R_sk))) * eps
+    mxd = jnp.max(jnp.abs(jnp.diag(R_sk)))
+    dref = jnp.where(mxd > 0.0, mxd * eps, jnp.asarray(1.0, A.dtype))
     dsafe = jnp.where(jnp.abs(jnp.diag(R_sk)) > dref,
-                      jnp.diag(R_sk),
-                      jnp.maximum(dref, eps))
+                      jnp.diag(R_sk), dref)
     R_sk = R_sk - jnp.diag(jnp.diag(R_sk)) + jnp.diag(dsafe)
     if not cfg.compute_q:
         # Q-less path (the reference's compute_Q=false, rl_cqrrt.hh:113):
         # Gram + Cholesky only — R from one pass over A, no trsm for Q.
+        from ..ops.cholqr import _finite_scaled
         A_pre = jax.lax.linalg.triangular_solve(R_sk, A, left_side=False,
                                                 lower=False)
+        A_pre, s, nonfin = _finite_scaled(A_pre)
         G = jnp.matmul(A_pre.T, A_pre, precision=precision)
         L = jax.lax.linalg.cholesky(0.5 * (G + G.T))
-        fail = jnp.any(jnp.isnan(L))
-        R = jnp.matmul(L.T, R_sk, precision=precision)
+        fail = jnp.any(jnp.isnan(L)) | nonfin
+        R = jnp.matmul(L.T * s, R_sk, precision=precision)
         return None, R, fail, state
     Q, R, fail = preconditioned_cholqr(A, R_sk, precision)
     return Q, R, fail, state

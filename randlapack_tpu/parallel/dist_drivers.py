@@ -59,20 +59,23 @@ def dist_cqrrpt(A: jax.Array, mesh: Mesh, state: RNGState,
         R_sk_safe = (jnp.triu(R_sk) - jnp.diag(jnp.diag(R_sk))
                      + jnp.diag(dsafe))
         # pivot + precondition: row-local ops on the sharded operand
+        from ..ops.cholqr import _finite_scaled
         A_piv = jnp.take(A, J, axis=1)
         A_pre = jax.lax.linalg.triangular_solve(
             R_sk_safe, A_piv, left_side=False, lower=False) * keep[None, :]
+        # band guard (the global max reduces over the mesh under GSPMD)
+        A_pre, s, nonfin = _finite_scaled(A_pre)
         A_pre = jax.lax.with_sharding_constraint(A_pre, rows_sh)
         # Gram over the mesh (psum inserted by SPMD partitioner)
         G = jax.lax.with_sharding_constraint(
             jnp.matmul(A_pre.T, A_pre, precision=precision)
             + jnp.diag(1.0 - keep), repl)
         L = jax.lax.linalg.cholesky(G)
-        fail = jnp.any(jnp.isnan(L))
+        fail = jnp.any(jnp.isnan(L)) | nonfin
         Q = jax.lax.linalg.triangular_solve(L.T, A_pre, left_side=False,
                                             lower=False)
         Q = jax.lax.with_sharding_constraint(Q, rows_sh)
-        R = jnp.matmul(L.T, R_sk_safe, precision=precision)
+        R = jnp.matmul(L.T * s, R_sk_safe, precision=precision)
         return Q, R, J, rank, fail
 
     Q, R, J, rank, fail = impl(A, S)
@@ -284,18 +287,20 @@ def dist_cqrrt(A: jax.Array, mesh: Mesh, state: RNGState,
         dsafe = jnp.where(jnp.abs(jnp.diag(R_sk)) > 0.0,
                           jnp.diag(R_sk), 1.0)
         R_sk = jnp.triu(R_sk) - jnp.diag(jnp.diag(R_sk)) + jnp.diag(dsafe)
+        from ..ops.cholqr import _finite_scaled
         A_pre = jax.lax.linalg.triangular_solve(
             R_sk, A, left_side=False, lower=False)
+        A_pre, s, nonfin = _finite_scaled(A_pre)
         A_pre = jax.lax.with_sharding_constraint(A_pre, rows_sh)
         G = jax.lax.with_sharding_constraint(
             jnp.matmul(A_pre.T, A_pre, precision=precision), repl)
         L = jax.lax.linalg.cholesky(0.5 * (G + G.T))
-        fail = jnp.any(jnp.isnan(L))
+        fail = jnp.any(jnp.isnan(L)) | nonfin
         L_safe = jnp.where(fail, jnp.eye(n, dtype=dtype), L)
         Q = jax.lax.linalg.triangular_solve(L_safe.T, A_pre,
                                             left_side=False, lower=False)
         Q = jax.lax.with_sharding_constraint(Q, rows_sh)
-        R = jnp.matmul(L_safe.T, R_sk, precision=precision)
+        R = jnp.matmul(L_safe.T * s, R_sk, precision=precision)
         return Q, R, fail
 
     with jax.sharding.set_mesh(mesh):

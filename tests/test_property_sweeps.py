@@ -305,3 +305,27 @@ class TestScaleInvariance:
         x1, _, it1, _ = spls(A * s, b * s, 0.0, SPLSConfig(), RNGState(905))
         np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
                                    rtol=1e-10)
+
+    def test_cqrrt_scale_equivariant(self):
+        from randlapack_tpu.drivers import CQRRTConfig, cqrrt
+        A64, _ = mat_gen(MatGenInfo(256, 48, MatType.exponential,
+                                    cond_num=1e4), RNGState(906))
+        A = A64.astype(jnp.float32)
+        Q0, R0, f0, _ = cqrrt(A, CQRRTConfig(), RNGState(907))
+        for scale in [2.0 ** -60, 2.0 ** 55]:
+            Q1, R1, f1, _ = cqrrt(A * jnp.float32(scale), CQRRTConfig(),
+                                  RNGState(907))
+            assert not bool(f1), scale
+            np.testing.assert_allclose(np.asarray(Q1), np.asarray(Q0),
+                                       atol=1e-5)
+            np.testing.assert_allclose(np.asarray(R1) / scale,
+                                       np.asarray(R0), rtol=2e-5,
+                                       atol=2e-5
+                                       * float(jnp.max(jnp.abs(R0))))
+        # Q-less route at scale
+        _, Rq, fq, _ = cqrrt(A * jnp.float32(2.0 ** -60),
+                             CQRRTConfig(compute_q=False), RNGState(907))
+        assert not bool(fq)
+        np.testing.assert_allclose(np.asarray(Rq) / 2.0 ** -60,
+                                   np.asarray(R0), rtol=2e-4,
+                                   atol=2e-4 * float(jnp.max(jnp.abs(R0))))
