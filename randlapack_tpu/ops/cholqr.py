@@ -53,9 +53,12 @@ def _finite_scaled(A):
     in_band = ((mx <= big) & (mx >= small)) | (mx == 0.0)
     # power-of-2 normalization: an exponent-only shift commutes bitwise
     # with every f32 op (no mantissa rounding), so out-of-band inputs
-    # factor to EXACTLY the in-band run's Q and pivots
+    # factor to EXACTLY the in-band run's Q and pivots. ldexp, NOT
+    # exp2(round(log2)): XLA's exp2 is an approximate transcendental and
+    # returns 2^k off by ~1 ulp·k — not a power of two at all.
+    k = jnp.round(jnp.log2(jnp.where(mx > 0, mx, 1.0))).astype(jnp.int32)
     s = jnp.where(in_band, jnp.asarray(1.0, A.dtype),
-                  jnp.exp2(jnp.round(jnp.log2(mx))).astype(A.dtype))
+                  jnp.ldexp(jnp.asarray(1.0, A.dtype), k))
     return A / s, s, nonfin
 
 

@@ -30,6 +30,28 @@ def dist_gram(A: jax.Array, mesh: Mesh, axis: str = "rows",
                      out_specs=P())(A)
 
 
+def _band_guard_local(a, axis):
+    """Shard-local half of ops/cholqr.py::_finite_scaled: sanitize
+    non-finite entries and normalize by a power of 2 when the GLOBAL
+    max|A| (one pmax over the mesh) would over- or underflow the Gram.
+    Bitwise no-op on healthy data (scale == 1.0)."""
+    finite = jnp.isfinite(a)
+    nonfin = jax.lax.pmax(
+        jnp.any(~finite).astype(jnp.int32), axis) > 0
+    a = jnp.where(finite, a, 0.0)
+    fi = jnp.finfo(a.dtype)
+    m, n = a.shape
+    big = jnp.sqrt(fi.max / (8.0 * m * n))    # conservative: local m
+    small = jnp.asarray(fi.eps, a.dtype) ** 2
+    mx = jax.lax.pmax(jnp.max(jnp.abs(a)), axis)
+    in_band = ((mx <= big) & (mx >= small)) | (mx == 0.0)
+    # ldexp for an EXACT power of two (XLA exp2 is approximate)
+    k = jnp.round(jnp.log2(jnp.where(mx > 0, mx, 1.0))).astype(jnp.int32)
+    s = jnp.where(in_band, jnp.asarray(1.0, a.dtype),
+                  jnp.ldexp(jnp.asarray(1.0, a.dtype), k))
+    return a / s, s, nonfin
+
+
 def dist_cholqr(A: jax.Array, mesh: Mesh, axis: str = "rows",
                 passes: int = 2, precision=STABLE_PRECISION):
     """Distributed CholeskyQR over row shards. Returns ``(Q, R, fail)``
@@ -38,12 +60,13 @@ def dist_cholqr(A: jax.Array, mesh: Mesh, axis: str = "rows",
     n = A.shape[1]
 
     def one_pass(a):
+        a, s, nonfin = _band_guard_local(a, axis)
         g = jax.lax.psum(jnp.matmul(a.T, a, precision=precision), axis)
         l = jax.lax.linalg.cholesky(g)
-        fail = jnp.any(jnp.isnan(l))
+        fail = jnp.any(jnp.isnan(l)) | nonfin
         q = jax.lax.linalg.triangular_solve(l.T, a, left_side=False,
                                             lower=False)
-        return q, l.T, fail
+        return q, l.T * s, fail
 
     def local(a):
         q, r, fail = one_pass(a)
@@ -64,14 +87,15 @@ def dist_shifted_cholqr3(A: jax.Array, mesh: Mesh, axis: str = "rows",
     n = A.shape[1]
 
     def local(a):
+        a, sc, nonfin = _band_guard_local(a, axis)
         g = jax.lax.psum(jnp.matmul(a.T, a, precision=precision), axis)
         eps = jnp.finfo(a.dtype).eps
         s = 11.0 * eps * n * jnp.trace(g)
         l1 = jax.lax.linalg.cholesky(g + s * jnp.eye(n, dtype=a.dtype))
-        fail = jnp.any(jnp.isnan(l1))
+        fail = jnp.any(jnp.isnan(l1)) | nonfin
         q = jax.lax.linalg.triangular_solve(l1.T, a, left_side=False,
                                             lower=False)
-        r = l1.T
+        r = l1.T * sc
         for _ in range(2):
             g2 = jax.lax.psum(jnp.matmul(q.T, q, precision=precision), axis)
             l2 = jax.lax.linalg.cholesky(g2)

@@ -300,3 +300,34 @@ class TestDistLinopTrack:
         opt = float(jnp.linalg.norm(R) / jnp.linalg.norm(
             jnp.matmul(A.T, B, precision=hp)))
         assert opt < 1e-9, opt
+
+    def test_dist_cholqr_scale_band(self, mesh):
+        """Extreme global scales through the shard_map TSQR paths: the
+        pmax band guard must keep Cholesky in range and return R linear
+        in the scale."""
+        A, _ = mat_gen(MatGenInfo(640, 32, MatType.exponential,
+                                  cond_num=1e4), RNGState(71))
+        A = A.astype(jnp.float32)
+        As = jax.device_put(A, row_sharded(mesh))
+        Q0, R0, f0 = dist_cholqr(As, mesh)
+        assert not bool(f0)
+        for scale in [2.0 ** -60, 2.0 ** 55]:
+            Qs, Rs, fs = dist_cholqr(
+                jax.device_put(A * jnp.float32(scale), row_sharded(mesh)),
+                mesh)
+            assert not bool(fs), scale
+            np.testing.assert_allclose(np.asarray(Qs), np.asarray(Q0),
+                                       atol=1e-5)
+            np.testing.assert_allclose(np.asarray(Rs) / scale,
+                                       np.asarray(R0), rtol=2e-5,
+                                       atol=2e-5
+                                       * float(jnp.max(jnp.abs(R0))))
+        from randlapack_tpu.parallel import dist_shifted_cholqr3
+        Qs, Rs, fs = dist_shifted_cholqr3(
+            jax.device_put(A * jnp.float32(2.0 ** -60), row_sharded(mesh)),
+            mesh)
+        assert not bool(fs)
+        hp = jax.lax.Precision.HIGHEST
+        orth = float(jnp.linalg.norm(
+            jnp.matmul(Qs.T, Qs, precision=hp) - jnp.eye(32)))
+        assert orth < 1e-5, orth
