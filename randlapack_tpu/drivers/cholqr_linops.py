@@ -23,6 +23,16 @@ from ..config import STABLE_PRECISION
 from ..rng import RNGState
 
 
+def _finite_gram(G):
+    """Detection half of the Inf-kernel guard for operator-based Grams:
+    the operand is a linop (no cheap global rescale), so a non-finite
+    accumulated Gram is zeroed into the fail flag instead of reaching
+    the TPU Cholesky kernel (which wedges the worker on Inf — see
+    ops/cholqr.py::_finite_scaled)."""
+    finite = jnp.isfinite(G)
+    return jnp.where(finite, G, 0.0), ~jnp.all(finite)
+
+
 def blocked_gram(A, block: int | None = None, precision=STABLE_PRECISION):
     """G = AᵀA with peak memory O(m·block) (None → one-shot)."""
     n = A.n_cols
@@ -158,26 +168,28 @@ def _cholqr_linops_impl(A, cfg, precision, timing):
 
     with _phase("gram_0"):
         G = blocked_gram(A, cfg.gram_block, precision)
+        G, nf0 = _finite_gram(G)
         if timing:
             device_sync(G)
     with _phase("potrf_0"):
         L = jax.lax.linalg.cholesky(G)
         if timing:
             device_sync(L)
-    fail = jnp.any(jnp.isnan(L))
+    fail = jnp.any(jnp.isnan(L)) | nf0
     chain = (L.T,)
     R = L.T
     for p_ in range(cfg.passes - 1):
         # extra pass: fresh Gram of the chain-preconditioned operator
         with _phase(f"gram_{p_ + 1}"):
             G2 = blocked_gram_precond(A, chain, cfg.gram_block, precision)
+            G2, nf2 = _finite_gram(G2)
             if timing:
                 device_sync(G2)
         with _phase(f"potrf_{p_ + 1}"):
             L2 = jax.lax.linalg.cholesky(0.5 * (G2 + G2.T))
             if timing:
                 device_sync(L2)
-        fail = fail | jnp.any(jnp.isnan(L2))
+        fail = fail | jnp.any(jnp.isnan(L2)) | nf2
         chain = chain + (L2.T,)
         R = jnp.matmul(L2.T, R, precision=precision)
     if timing:
@@ -193,10 +205,11 @@ def scholqr3_linops(A, cfg: CholQRLinopsConfig = CholQRLinopsConfig(),
     space. Returns ``(R, fail)``."""
     n = A.n_cols
     G = blocked_gram(A, cfg.gram_block, precision)
+    G, nfg = _finite_gram(G)
     eps = jnp.finfo(G.dtype).eps
     s = 11.0 * eps * n * jnp.trace(G)     # trace(G) = ‖A‖_F²
     L1 = jax.lax.linalg.cholesky(G + s * jnp.eye(n, dtype=G.dtype))
-    fail = jnp.any(jnp.isnan(L1))
+    fail = jnp.any(jnp.isnan(L1)) | nfg
     chain = (L1.T,)
     R = L1.T
     for _ in range(2):
@@ -207,6 +220,8 @@ def scholqr3_linops(A, cfg: CholQRLinopsConfig = CholQRLinopsConfig(),
         # the trace-relative shift keeps Cholesky alive at the cost of a
         # per-pass O(eps·n) orthogonality floor.
         G2 = blocked_gram_precond(A, chain, cfg.gram_block, precision)
+        G2, nfg2 = _finite_gram(G2)
+        fail = fail | nfg2
         G2 = 0.5 * (G2 + G2.T)
         # try unshifted first (no orthogonality pollution); if the
         # preconditioned Gram is numerically indefinite (κ(A)²·eps ≳ 1 —

@@ -45,15 +45,19 @@ def dist_rangefinder_step(A: jax.Array, Omega: jax.Array, mesh: Mesh,
     k = Omega.shape[1]
 
     def local(a, om):
+        from .tsqr import _band_guard_local
         y = jnp.matmul(a, om, precision=precision)
-        # CholQR2 inline (two psum'd Gram passes)
+        # CholQR2 inline (two psum'd Gram passes); Q is invariant under
+        # the band guard's power-of-2 scale, and no R is returned, so no
+        # scale bookkeeping is needed here
         q = y
         r = None
         fail = jnp.asarray(False)
         for _ in range(2):
+            q, _, nonfin = _band_guard_local(q, axis)
             g = jax.lax.psum(jnp.matmul(q.T, q, precision=precision), axis)
             l = jax.lax.linalg.cholesky(g)
-            fail = fail | jnp.any(jnp.isnan(l))
+            fail = fail | jnp.any(jnp.isnan(l)) | nonfin
             q = jax.lax.linalg.triangular_solve(l.T, q, left_side=False,
                                                 lower=False)
         b = jax.lax.psum(jnp.matmul(q.T, a, precision=precision), axis)
