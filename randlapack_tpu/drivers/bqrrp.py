@@ -100,7 +100,7 @@ class BQRRPConfig:
                                   # squaring — the explicit driver's
                                   # route, enables b ≥ 1024); "auto" =
                                   # gram for b ≤ 512, qr above
-    update_defer: int = 1         # factored form only: aggregate this many
+    update_defer: int = 1         # both forms: aggregate this many
                                   # consecutive blocks' rank-b trailing
                                   # updates (the thin-k V·Z GEMMs, the
                                   # measured loop bottleneck at b=512) and
@@ -257,7 +257,15 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
     # stay in place, a `retired` mask excludes them, and ONE permutation at
     # the stage end restores the positional invariant the next (narrower)
     # stage window relies on.
-    def block(i, carry):
+    def block(i, carry, j=None, Qg=None, Tg=None):
+        """One panel block. With ``j`` given (update-deferred group slot,
+        static) the trailing A update is appended to the (Qg, Tg)
+        aggregates instead of applied; the true panel and T row-block are
+        recovered via the telescoping A_j = A_stale − Qg·Tg — exact, since
+        each T_i already carries its live-mask and R11 writes, so the
+        group-end A −= Qg·Tg reproduces the per-block sequence as the
+        same GEMM sum reordered."""
+        deferred = j is not None
         A_work, A_sk, Qp, R, order, retired, fail = carry
         c = i * b              # local block offset; global = g0 + c
         if cfg.shard_axis is not None:
@@ -276,6 +284,9 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
         # -- panel QR: sketch-preconditioned CholQR -----------------------
         A_sk_panel = jnp.take(A_sk, chosen, axis=1)     # (d, b) gather
         panel = jnp.take(A_work, chosen, axis=1)        # (m, b) gather
+        if deferred and j > 0:
+            panel = panel - jnp.matmul(
+                Qg, jnp.take(Tg, chosen, axis=1), precision=precision)
         if cfg.block_reorth:
             # BCGS2 against the filled basis prefix; correction folded
             # into R's earlier rows at the chosen columns.
@@ -303,9 +314,16 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
 
         # -- trailing update over the (masked) window ---------------------
         T = jnp.matmul(Q_panel.T, A_work, precision=precision)   # (b, w)
+        if deferred and j > 0:
+            # T must read the TRUE trailing matrix: correct through the
+            # pending aggregates before masking
+            T = T - jnp.matmul(
+                jnp.matmul(Q_panel.T, Qg, precision=precision), Tg,
+                precision=precision)
         T = T * live[None, :]
         T = T.at[:, chosen].set(R11)                    # exact panel block
-        A_work = A_work - jnp.matmul(Q_panel, T, precision=precision)
+        if not deferred:
+            A_work = A_work - jnp.matmul(Q_panel, T, precision=precision)
 
         # -- sketch downdate ----------------------------------------------
         SQ = jax.lax.linalg.triangular_solve(
@@ -319,13 +337,41 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
         R = jax.lax.dynamic_update_slice(R, T, (g0 + c, 0))
         order = jax.lax.dynamic_update_slice(order, chosen, (c,))
         retired = retired.at[chosen].set(1.0)
-        return A_work, A_sk, Qp, R, order, retired, fail | failp
+        carry = (A_work, A_sk, Qp, R, order, retired, fail | failp)
+        if not deferred:
+            return carry
+        Qg = Q_panel if j == 0 else jnp.concatenate([Qg, Q_panel], axis=1)
+        Tg = T if j == 0 else jnp.concatenate([Tg, T], axis=0)
+        return Qg, Tg, carry
 
     order0 = jnp.zeros((w,), jnp.int32)
     retired0 = jnp.zeros((w,), dtype)
     carry = (A_loc, A_sk_loc, Qp, R_loc, order0, retired0, fail)
-    A_loc, A_sk_loc, Qp, R_loc, order, retired, fail = jax.lax.fori_loop(
-        0, nblocks, block, carry)
+    g = max(1, min(int(cfg.update_defer), nblocks))
+    if cfg.shard_axis is not None:
+        g = 1   # the sharded path keeps per-block psum'd updates
+    if g == 1:
+        carry = jax.lax.fori_loop(0, nblocks, block, carry)
+    else:
+        def make_group(gsz, off):
+            def group(gi, carry):
+                i0 = off + gi * gsz
+                Qg = Tg = None
+                for j in range(gsz):
+                    Qg, Tg, carry = block(i0 + j, carry, j, Qg, Tg)
+                A_work, A_sk, Qp_, R, order, retired, fl = carry
+                # ONE wide k = gsz·b trailing update (same GEMM sum as
+                # the per-block sequence, reordered)
+                A_work = A_work - jnp.matmul(Qg, Tg, precision=precision)
+                return (A_work, A_sk, Qp_, R, order, retired, fl)
+            return group
+
+        ngroups, grem = divmod(nblocks, g)
+        if ngroups:
+            carry = jax.lax.fori_loop(0, ngroups, make_group(g, 0), carry)
+        if grem:
+            carry = make_group(grem, ngroups * g)(0, carry)
+    A_loc, A_sk_loc, Qp, R_loc, order, retired, fail = carry
     Q = Q.at[:, :q_hi].set(Qp)
 
     # stage-end permutation: pivots (in selection order) move to the front,

@@ -51,6 +51,11 @@ class CQRRPTConfig:
                                   # BQRRP (the headline's stages=2 knob)
     bqrrp_pivot_candidates: int | None = None  # sketch-BQRRP candidate
                                                # preselection multiple
+    bqrrp_update_defer: int = 1   # sketch-BQRRP aggregated trailing
+                                  # updates (k = defer·b GEMMs — the
+                                  # sketch QRCP is the warm breakdown's
+                                  # biggest slice and its b=256 trailing
+                                  # GEMMs are thin)
     eps_rank: float | None = None  # rank-estimate threshold (None → machine)
     orthogonalization: bool = False  # complete a rank-deficient basis to a
                                      # full orthonormal Q with projected
@@ -105,7 +110,8 @@ def _qrcp_phase(A_sk, cfg: CQRRPTConfig, state, precision):
         _, R_sk, J, _, _, state = bqrrp(
             A_sk, BQRRPConfig(block_size=cfg.bqrrp_block,
                               stages=cfg.bqrrp_stages,
-                              pivot_candidates=cfg.bqrrp_pivot_candidates),
+                              pivot_candidates=cfg.bqrrp_pivot_candidates,
+                              update_defer=cfg.bqrrp_update_defer),
             state, precision)
         R_sk = R_sk[:n, :]
     return R_sk, J, state

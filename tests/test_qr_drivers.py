@@ -220,3 +220,38 @@ class TestHeadlineConfigShape:
         orth = float(jnp.linalg.norm(Q.T @ Q - jnp.eye(1024)))
         assert res < ATOL * 10 and orth < ATOL * np.sqrt(1024) * 10
         assert not bool(fac.fail)
+
+
+class TestExplicitUpdateDefer:
+    def test_explicit_defer_matches_per_block(self):
+        """Explicit-form update_defer: the group-end A -= Qg·Tg is the
+        per-block GEMM sum reordered, so pivots match exactly and R to
+        rounding (incl. through stages and the CQRRPT pass-through)."""
+        from randlapack_tpu.drivers import (BQRRPConfig, CQRRPTConfig,
+                                            QRCPKind, bqrrp, cqrrpt)
+        hp = jax.lax.Precision.HIGHEST
+        A, st = mat_gen(MatGenInfo(200, 160, MatType.exponential,
+                                   cond_num=1e6), RNGState(5))
+        for stages in [1, 2]:
+            base = bqrrp(A, BQRRPConfig(block_size=16, stages=stages), st)
+            for defer in [2, 4]:
+                Q, R, J, rank, fail, _ = bqrrp(
+                    A, BQRRPConfig(block_size=16, stages=stages,
+                                   update_defer=defer), st)
+                assert bool(jnp.all(J == base[2])), (stages, defer)
+                np.testing.assert_allclose(np.asarray(R),
+                                           np.asarray(base[1]), atol=1e-13)
+                assert not bool(fail)
+        At, st2 = mat_gen(MatGenInfo(1024, 128, MatType.exponential,
+                                     cond_num=1e5), RNGState(6))
+        c0 = CQRRPTConfig(qrcp=QRCPKind.bqrrp, bqrrp_block=16)
+        c2 = CQRRPTConfig(qrcp=QRCPKind.bqrrp, bqrrp_block=16,
+                          bqrrp_update_defer=4)
+        out0 = cqrrpt(At, c0, st2)
+        out2 = cqrrpt(At, c2, st2)
+        np.testing.assert_array_equal(np.asarray(out2[2]),
+                                      np.asarray(out0[2]))
+        res = float(jnp.linalg.norm(
+            jnp.matmul(out2[0], out2[1], precision=hp)
+            - jnp.take(At, out2[2], axis=1)) / jnp.linalg.norm(At))
+        assert res < 1e-13 and not bool(out2[4])
