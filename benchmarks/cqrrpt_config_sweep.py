@@ -37,6 +37,12 @@ def main():
     base = dict(sketch="srht", qrcp=QRCPKind.bqrrp)
     sweep = [
         ("b256 (bench default)", CQRRPTConfig(**base, bqrrp_block=256)),
+        ("b256/d2", CQRRPTConfig(**base, bqrrp_block=256,
+                                 bqrrp_update_defer=2)),
+        ("b256/d4", CQRRPTConfig(**base, bqrrp_block=256,
+                                 bqrrp_update_defer=4)),
+        ("b128/d4", CQRRPTConfig(**base, bqrrp_block=128,
+                                 bqrrp_update_defer=4)),
         ("b256/s2/pc4", CQRRPTConfig(**base, bqrrp_block=256,
                                      bqrrp_stages=2,
                                      bqrrp_pivot_candidates=4)),
