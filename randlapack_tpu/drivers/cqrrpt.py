@@ -196,6 +196,11 @@ def cqrrpt(A: jax.Array, cfg: CQRRPTConfig, state: RNGState,
     ``timing=True`` appends the 8-phase metrics dict (synchronizes
     between phases — measurement mode only).
     """
+    from ..errors import require
+    require(A.shape[0] >= A.shape[1],
+            "cqrrpt requires a tall input (m >= n, the reference's "
+            "CQRRPT contract, rl_cqrrpt.hh) — got "
+            f"{A.shape}; use hqrrp/bqrrp for wide matrices")
     from ..utils.timing import PhaseTimer, device_sync
     timer = PhaseTimer() if timing else None
 

@@ -124,6 +124,10 @@ def cqrrt(A: jax.Array, cfg: CQRRTConfig, state: RNGState,
     preconditioned CholQR broke down (A numerically rank-deficient beyond
     what preconditioning fixes).
     """
+    from ..errors import require
+    require(A.shape[0] >= A.shape[1],
+            "cqrrt requires a tall input (m >= n, rl_cqrrt.hh contract) "
+            f"— got {A.shape}")
     if timing:
         return _cqrrt_timed(A, cfg, state, precision)
     return _cqrrt_jit(A, cfg, state, precision)

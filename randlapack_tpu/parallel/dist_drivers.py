@@ -32,7 +32,10 @@ def dist_cqrrpt(A: jax.Array, mesh: Mesh, state: RNGState,
     sketch operator's columns shard with A's rows so the d×n sketch is one
     psum; SASO scatter does not shard as cleanly).
     """
+    from ..errors import require
     m, n = A.shape
+    require(m >= n, "dist_cqrrpt requires a tall input (m >= n) — got "
+            f"{A.shape}")
     d = int(d_factor * n)
     dtype = A.dtype
     rows_sh = NamedSharding(mesh, P(axis, None))
@@ -265,9 +268,12 @@ def dist_cqrrt(A: jax.Array, mesh: Mesh, state: RNGState,
     Returns ``(Q, R, fail, next_state)`` with Q sharded like A, R
     replicated; ``fail`` mirrors cqrrt's potrf-breakdown signal.
     """
+    from ..errors import require
     from ..ops.qr import qr_econ
 
     m, n = A.shape
+    require(m >= n, "dist_cqrrt requires a tall input (m >= n) — got "
+            f"{A.shape}")
     d = min(int(d_factor * n), m)
     dtype = A.dtype
     rows_sh = NamedSharding(mesh, P(axis, None))

@@ -312,3 +312,18 @@ class TestInfSanitization:
         Qs, Rs, fs = shifted_cholqr3(A32, hp)
         assert not bool(fs)
         assert rel_res(Qs, Rs) < 1e-5, rel_res(Qs, Rs)
+
+
+class TestTallOnlyContracts:
+    def test_cqrrt_cqrrpt_wide_inputs_raise_loudly(self):
+        """Wide inputs previously crashed deep inside with opaque shape
+        errors (fuzz batch 8); the tall-only contract now raises a named
+        error at the boundary."""
+        from randlapack_tpu.drivers import (CQRRPTConfig, CQRRTConfig,
+                                            cqrrt, cqrrpt)
+        from randlapack_tpu.errors import RandLAPACKError
+        A = jax.random.normal(jax.random.key(0), (32, 48), jnp.float64)
+        with pytest.raises(RandLAPACKError, match="tall"):
+            cqrrt(A, CQRRTConfig(), RNGState(1))
+        with pytest.raises(RandLAPACKError, match="tall"):
+            cqrrpt(A, CQRRPTConfig(), RNGState(1))

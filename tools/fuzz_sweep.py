@@ -110,6 +110,7 @@ for trial in range(TRIALS):
                     bqrrp_block=rng.choice([16, 32]),
                     bqrrp_stages=rng.choice([1, 2]),
                     bqrrp_pivot_candidates=rng.choice([None, 2, 4]),
+                    bqrrp_update_defer=rng.choice([1, 2, 4]),
                     d_factor=rng.choice([1.25, 2.0, 4.0]),
                     orthogonalization=rng.random() < 0.3)
                 Q, R, J, rank, fail, _ = cqrrpt(A, cfg, st)
@@ -212,6 +213,13 @@ for trial in range(TRIALS):
                 tag += f" p{p} {drv} m{m} n{n}"
                 if drv == "cqrrt":
                     from randlapack_tpu.parallel import dist_cqrrt
+                    if m < n:   # tall-only contract (loud require)
+                        A, st = mat_gen(
+                            MatGenInfo(2 * n if (2 * n) % p == 0
+                                       else 2 * n * p, n,
+                                       MatType.exponential, cond_num=100),
+                            RNGState(SEED + trial))
+                        m = A.shape[0]
                     Qc, Rc, fc, _ = dist_cqrrt(A, mesh, st)
                     resc = float(jnp.linalg.norm(
                         jnp.matmul(Qc, Rc, precision=hp) - A)
