@@ -208,6 +208,7 @@ for trial in range(TRIALS):
                                            cond_num=10 ** rng.choice(
                                                [2, 5])),
                                 RNGState(SEED + trial))
+                A = A * scale   # exercises the dist band guards
                 drv = rng.choice(["bqrrp", "cqrrpt", "hqrrp", "rsvd",
                                   "cqrrt", "revd2"])
                 tag += f" p{p} {drv} m{m} n{n}"
