@@ -28,6 +28,24 @@ def _solve_rt(A, R, precision=None):
         R, A, left_side=False, lower=False, transpose_a=False)
 
 
+def _pow2(k, dtype):
+    """EXACT 2^k by exponent-bit construction. Neither jnp.exp2 nor
+    jnp.ldexp is safe here: exp2 is an approximate transcendental, and
+    ldexp lowers through ``2 ** e`` = lax.pow → exp(e·log2) on TPU —
+    both can return a value 1 ulp off a true power of two, which breaks
+    the bitwise scale-equivariance this guard promises."""
+    k = jnp.asarray(k, jnp.int32)
+    if dtype == jnp.float64:
+        bits = ((jnp.clip(k, -1022, 1023) + 1023).astype(jnp.uint64)
+                << jnp.uint64(52))
+        return jax.lax.bitcast_convert_type(bits, jnp.float64)
+    if dtype == jnp.float32:
+        bits = ((jnp.clip(k, -126, 127) + 127).astype(jnp.uint32)
+                << jnp.uint32(23))
+        return jax.lax.bitcast_convert_type(bits, jnp.float32)
+    return jnp.ldexp(jnp.asarray(1.0, dtype), k)   # other dtypes
+
+
 def _finite_scaled(A):
     """Sanitize + scale-guard an orthogonalization input: non-finite
     entries → 0 (reported), and a GLOBAL rescale so the Gram matrix
@@ -53,12 +71,9 @@ def _finite_scaled(A):
     in_band = ((mx <= big) & (mx >= small)) | (mx == 0.0)
     # power-of-2 normalization: an exponent-only shift commutes bitwise
     # with every f32 op (no mantissa rounding), so out-of-band inputs
-    # factor to EXACTLY the in-band run's Q and pivots. ldexp, NOT
-    # exp2(round(log2)): XLA's exp2 is an approximate transcendental and
-    # returns 2^k off by ~1 ulp·k — not a power of two at all.
+    # factor to EXACTLY the in-band run's Q and pivots
     k = jnp.round(jnp.log2(jnp.where(mx > 0, mx, 1.0))).astype(jnp.int32)
-    s = jnp.where(in_band, jnp.asarray(1.0, A.dtype),
-                  jnp.ldexp(jnp.asarray(1.0, A.dtype), k))
+    s = jnp.where(in_band, jnp.asarray(1.0, A.dtype), _pow2(k, A.dtype))
     return A / s, s, nonfin
 
 

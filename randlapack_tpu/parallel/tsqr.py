@@ -45,10 +45,9 @@ def _band_guard_local(a, axis):
     small = jnp.asarray(fi.eps, a.dtype) ** 2
     mx = jax.lax.pmax(jnp.max(jnp.abs(a)), axis)
     in_band = ((mx <= big) & (mx >= small)) | (mx == 0.0)
-    # ldexp for an EXACT power of two (XLA exp2 is approximate)
+    from ..ops.cholqr import _pow2   # exact 2^k (exp2/ldexp are not)
     k = jnp.round(jnp.log2(jnp.where(mx > 0, mx, 1.0))).astype(jnp.int32)
-    s = jnp.where(in_band, jnp.asarray(1.0, a.dtype),
-                  jnp.ldexp(jnp.asarray(1.0, a.dtype), k))
+    s = jnp.where(in_band, jnp.asarray(1.0, a.dtype), _pow2(k, a.dtype))
     return a / s, s, nonfin
 
 
