@@ -200,8 +200,10 @@ def psd_sqrt_pinv(A: jax.Array):
     (reference: rl_determiter.hh:181 ``psd_sqrt_pinv``): B with
     pinv(A) = B·Bᵀ via eigendecomposition, kernel eigenvectors zeroed.
 
-    Returns ``(B, ker_dim, code)`` — B (n, n) with the trailing
-    ``ker_dim`` concept flipped into zeroed columns (static shapes),
+    Returns ``(B, ker_dim, code)`` — B (n, n) with the kernel
+    eigenvectors' columns zeroed in place (static shapes; eigh orders
+    eigenvalues ASCENDING, so the zeroed columns are the LEADING
+    ``ker_dim`` columns of B, not the trailing ones),
     ker_dim = dim(ker A) as int32, and ``code`` the jit-safe analogue of
     the reference's return value: ker_dim when A is PSD, −(n+1) when A is
     not PSD (λ_min < −tol), −(n+2) when A ≈ 0 — a returned flag, never an

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import STABLE_PRECISION
-from ..ops.cholqr import cholqr, cholqr2, shifted_cholqr3
+from ..ops.cholqr import cholqr, cholqr2, cholqr_auto, shifted_cholqr3
 from ..ops.qr import qr_econ
 
 
@@ -22,6 +22,11 @@ class Stab(enum.Enum):
     scholqr3 = "scholqr3"        # shifted CholQR3 (unconditionally stable)
     hqr = "hqr"                  # Householder (geqrf+ungqr)
     plu = "plu"                  # PLUL: pivoted-LU lower factor (stabilize only)
+    auto = "auto"                # condition-aware ladder: CholQR2 with a
+                                 # free diag-R κ estimate routing bad
+                                 # inputs through scholqr3 → Householder-
+                                 # preconditioned CholQR (lax.cond-lazy;
+                                 # ops/cholqr.py::cholqr_auto)
 
 
 def orth(A: jax.Array, method: Stab = Stab.cholqr2,
@@ -31,7 +36,9 @@ def orth(A: jax.Array, method: Stab = Stab.cholqr2,
     ``fail`` is a traced bool; CholQR-family failures mirror the reference's
     ``chol_fail`` flag (rl_orth.hh:81-84) — callers fall back to ``hqr``.
     """
-    if method == Stab.cholqr:
+    if method == Stab.auto:
+        Q, _, fail = cholqr_auto(A, precision)
+    elif method == Stab.cholqr:
         Q, _, fail = cholqr(A, precision)
     elif method == Stab.cholqr2:
         Q, _, fail = cholqr2(A, precision)

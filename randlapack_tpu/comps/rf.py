@@ -42,10 +42,9 @@ def rf(A: jax.Array, k: int, cfg: RFConfig, state: RNGState,
         omega, state, conds = rs(A, k, rs_cfg, state, precision)
     else:
         omega, state = rs(A, k, rs_cfg, state, precision)
-    if cfg.cond_check:
-        from .rs import _cond_est
     y = jnp.matmul(A, omega, precision=precision)
     if cfg.cond_check:
+        from .rs import _cond_est
         conds = jnp.concatenate(
             [conds, _cond_est(y, precision)[None].astype(A.dtype)])
     q, fail = orth(y, cfg.orth, precision)

@@ -90,16 +90,25 @@ def _qr_explicit(W, key, cfg: ABRIKConfig, precision):
                         lambda w, q, r: (q, r), W, Q, R)
 
 
-@partial(jax.jit, static_argnames=("cfg", "precision"))
+@partial(jax.jit, static_argnames=("cfg", "precision", "tol"))
 def abrik_factor(A, state: RNGState, cfg: ABRIKConfig,
-                 precision=STABLE_PRECISION):
+                 precision=STABLE_PRECISION, tol: float = 0.0):
     """Block Golub-Kahan bidiagonalization of A (array or linop).
 
-    Returns ``(U, V, B, capture, state)``: U (m, qb), V (n, qb) orthonormal
-    bases, B (qb, qb) upper block-bidiagonal with A·V ≈ U·B, and
-    ``capture`` (q,) the per-iteration Frobenius capture ‖B_{:jb}‖_F —
-    compare against ‖A‖_F to decide truncation (reference's stopping
-    rule).
+    Returns ``(U, V, B, capture, iters, state)``: U (m, qb), V (n, qb)
+    orthonormal bases, B (qb, qb) upper block-bidiagonal with A·V ≈ U·B,
+    ``capture`` (q,) the per-iteration Frobenius capture ‖B_{:jb}‖_F,
+    and ``iters`` (int32 scalar) the number of Krylov iterations actually
+    executed.
+
+    The block loop is a ``lax.while_loop`` (static max-size buffers, data-
+    dependent trip count): it stops early on (a) Krylov exhaustion (the
+    roundoff-residual freeze below) and (b), when ``tol > 0``, the
+    reference's Frobenius capture test ‖B‖_F ≥ √(1−tol²)·‖A‖_F
+    (rl_abrik.hh:454,595 early termination) — easy/fast-decay spectra skip
+    the dead trailing iterations instead of writing zero blocks through
+    them. Outputs are IDENTICAL to the full-budget run: a stopped
+    iteration would have zero-masked its writes anyway.
     """
     m = A.shape[0] if hasattr(A, "shape") else A.n_rows
     n = A.shape[1] if hasattr(A, "shape") else A.n_cols
@@ -132,6 +141,18 @@ def abrik_factor(A, state: RNGState, cfg: ABRIKConfig,
     # the final band SVD). Triggers when q·b exceeds the numerical rank.
     eps = jnp.finfo(dtype).eps
     tol_bd = 100.0 * eps * jnp.linalg.norm(R1)
+    # Frobenius capture threshold (reference early termination): with
+    # tol=0 the test is disabled (thresh = +inf keeps lazy semantics —
+    # ‖B‖_F can only approach ‖A‖_F from below)
+    if tol and tol > 0.0:
+        if hasattr(A, "fro_nrm"):
+            norm_A = A.fro_nrm()
+        else:
+            norm_A = jnp.linalg.norm(A)
+        cap_thresh = jnp.sqrt(jnp.maximum(
+            1.0 - jnp.asarray(tol, dtype) ** 2, 0.0)) * norm_A
+    else:
+        cap_thresh = jnp.asarray(jnp.inf, dtype)
 
     def reorth(W, Basis):
         for _ in range(cfg.reorth_passes):
@@ -147,8 +168,12 @@ def abrik_factor(A, state: RNGState, cfg: ABRIKConfig,
         return jax.lax.with_sharding_constraint(X, _P(cfg.shard_axis,
                                                       None))
 
-    def body(j, carry):
-        U, V, B, capture, stopped = carry
+    def cond(carry):
+        U, V, B, capture, stopped, j = carry
+        return (j < q) & ~stopped
+
+    def body(carry):
+        U, V, B, capture, stopped, j = carry
         U = _row_sh(U)
         c = j * b
         # current blocks U_j, V_j live at columns [(j-1)b, jb)
@@ -188,12 +213,18 @@ def abrik_factor(A, state: RNGState, cfg: ABRIKConfig,
         # B[j-1, j] block = Lᵀ ; B[j, j] = R
         B = jax.lax.dynamic_update_slice(B, L.T * keep, ((j - 1) * b, c))
         B = jax.lax.dynamic_update_slice(B, Rn * keep, (c, c))
-        capture = capture.at[j].set(jnp.linalg.norm(B))
-        return U, V, B, capture, stopped
+        cap_j = jnp.linalg.norm(B)
+        capture = capture.at[j].set(cap_j)
+        # Frobenius capture early stop (no-op when tol=0: thresh = inf)
+        stopped = stopped | (cap_j >= cap_thresh)
+        return U, V, B, capture, stopped, j + 1
 
-    U, V, B, capture, _ = jax.lax.fori_loop(
-        1, q, body, (U, V, B, capture, jnp.asarray(False)))
-    return U, V, B, capture, state
+    # platform default int (int64 under x64 tests, int32 on chip) so the
+    # dynamic_slice index arithmetic stays one type
+    U, V, B, capture, _, j_end = jax.lax.while_loop(
+        cond, body,
+        (U, V, B, capture, jnp.asarray(False), jnp.asarray(1)))
+    return U, V, B, capture, j_end.astype(jnp.int32), state
 
 
 def _abrik_factor_timed(A, state, cfg, precision, timer):
@@ -303,9 +334,12 @@ def abrik(A, k: int, cfg: ABRIKConfig, state: RNGState, tol: float = 0.0,
     """Truncated SVD via block-Krylov bidiagonalization.
 
     Returns ``(U, S, Vt, info, next_state)`` with the leading k singular
-    triplets; ``info`` holds ``num_krylov_iters`` and the capture history
-    (the reference's ``num_krylov_iters``/``singular_triplets_found``
-    diagnostics, rl_abrik.hh fields).
+    triplets; ``info`` holds ``num_krylov_iters`` (the count actually
+    executed — with ``tol > 0`` the Krylov loop early-stops on the
+    reference's Frobenius capture test ‖B‖_F ≥ √(1−tol²)·‖A‖_F,
+    rl_abrik.hh:454,595, so easy spectra use fewer than ``cfg.max_iters``)
+    and the capture history (the reference's ``num_krylov_iters``/
+    ``singular_triplets_found`` diagnostics, rl_abrik.hh fields).
 
     ``timing=True`` appends the 13-slot phase dict (rl_abrik.hh:734) —
     iteration-split synced execution, measurement mode only.
@@ -328,10 +362,11 @@ def abrik(A, k: int, cfg: ABRIKConfig, state: RNGState, tol: float = 0.0,
         timer.times["total"] = _time.perf_counter() - t0
         info = {"num_krylov_iters": q, "capture": capture}
         return U, S[:k], V.T, info, state, timer.report()
-    Ub, Vb, B, capture, state = abrik_factor(A, state, cfg, precision)
+    Ub, Vb, B, capture, iters, state = abrik_factor(
+        A, state, cfg, precision, tol=float(tol))
     # small dense SVD of the band factor (rl_abrik.hh:690-701)
     Us, S, Vst = svd_econ(B, cfg.svd_method, precision)
     U = jnp.matmul(Ub, Us[:, :k], precision=precision)
     V = jnp.matmul(Vb, Vst.T[:, :k], precision=precision)
-    info = {"num_krylov_iters": q, "capture": capture}
+    info = {"num_krylov_iters": iters, "capture": capture}
     return U, S[:k], V.T, info, state

@@ -204,18 +204,24 @@ def _sanitize_sketch(Y, fail, dtype):
     Two safeguards, both exact no-ops on healthy data:
       * non-finite entries → 0 with ``fail`` raised (the repo convention:
         failure is a returned flag, never NaN/Inf);
-      * a GLOBAL scalar rescale back to max|Y| ≤ 1e8 — pivot selection
-        and the sketch-R preconditioner are invariant under a global
-        scale of the sketch (R_sk picks up 1/α, panel·R_sk⁻¹ picks up α,
-        R11 = R_chol·R_sk cancels it), so this changes nothing but the
-        overflow headroom. ``scale == 1.0`` (the healthy case) divides
-        bitwise-exactly.
+      * a GLOBAL scalar rescale back to max|Y| ≲ 2^26 ≈ 6.7e7 — pivot
+        selection and the sketch-R preconditioner are invariant under a
+        global scale of the sketch (R_sk picks up 1/α, panel·R_sk⁻¹
+        picks up α, R11 = R_chol·R_sk cancels it), so this changes
+        nothing but the overflow headroom. The scale is an EXACT power
+        of two (exponent-only divide, no mantissa rounding) so the
+        pow2 scale-equivariance pinned in test_property_sweeps holds
+        bitwise even when a 2^k-scaled input trips this guard; the
+        healthy case keeps ``scale == 1.0`` and passes through bitwise.
     """
+    from ..ops.cholqr import _pow2
     finite = jnp.isfinite(Y)
     bad = ~jnp.all(finite)
     Y = jnp.where(finite, Y, 0.0)
     mx = jnp.max(jnp.abs(Y))
-    scale = jnp.maximum(mx / jnp.asarray(1e8, dtype), 1.0)
+    k = jnp.ceil(jnp.log2(jnp.where(mx > 0, mx, 1.0))).astype(jnp.int32)
+    scale = jnp.where(mx > jnp.asarray(2.0**26, dtype),
+                      _pow2(k - 26, dtype), jnp.asarray(1.0, dtype))
     return Y / scale, fail | bad
 
 
@@ -658,7 +664,23 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
             lambda pm, q, r: shifted_cholqr3(pm, precision),
             lambda pm, q, r: (q, r, jnp.asarray(False)),
             panel_m, Q_panel, R11)
-        fail = fail | (failp & f_r)
+        # rescue 1.5 (condition-aware auto-routing, VERDICT r3 item 5):
+        # shifted CholQR3 fails loudly at κ ≳ 6e5 f32 — route those panels
+        # through Householder-R preconditioned CholQR (backward-stable R is
+        # the perfect preconditioner; measured eps-level orthogonality to
+        # κ = 3e7 f32). The solve-based Q construction preserves the exact
+        # zeros above row c that the WY reconstruction needs. Only truly
+        # degenerate panels fall through to the identity pad below.
+        def _hqr_rescue(pm, q, r):
+            R_h = _safe_triu_diag(
+                jnp.linalg.qr(pm, mode="r")[:b, :], dtype)
+            Qh, Rh, fh = preconditioned_cholqr(pm, R_h, precision)
+            return Qh, Rh, fh | jnp.any(~jnp.isfinite(Qh))
+        Q_panel, R11, f_h = jax.lax.cond(
+            failp & f_r, _hqr_rescue,
+            lambda pm, q, r: (q, r, jnp.asarray(False)),
+            panel_m, Q_panel, R11)
+        fail = fail | (failp & f_r & f_h)
         # rescue 2: exactly-zero/degenerate panels NaN even the shifted
         # pass — substitute identity columns so outputs stay finite with
         # `fail` raised (repo convention: failure is a flag, never NaN)

@@ -38,6 +38,18 @@ class CQRRTConfig:
     sketch: SketchKind = SketchKind.saso
     vec_nnz: int = 2              # SASO nonzeros per column
     compute_q: bool = True
+    orthogonalization: bool = False  # use CQRRT as a general-purpose
+                                     # orthogonalizer (rl_cqrrt.hh:113-115,
+                                     # :247): rank-deficient columns are
+                                     # detected on the sketch-R diagonal,
+                                     # completed with projected Gaussians
+                                     # (the CQRRPT basis-completion path),
+                                     # and the R finalize (undoing the
+                                     # preconditioner) is skipped as in
+                                     # the reference. Returns a 5-tuple
+                                     # ``(Q, R_chol, rank, fail, state)``.
+    eps_rank: float | None = None    # deficiency threshold relative to
+                                     # max |diag R_sk| (None → machine eps)
 
 
 def _sketch(A, d, cfg: CQRRTConfig, state: RNGState, precision):
@@ -123,14 +135,75 @@ def cqrrt(A: jax.Array, cfg: CQRRTConfig, state: RNGState,
     ``fail`` mirrors the reference's potrf-failure signal — True means the
     preconditioned CholQR broke down (A numerically rank-deficient beyond
     what preconditioning fixes).
+
+    ``cfg.orthogonalization=True`` (rl_cqrrt.hh:113-115) instead returns
+    ``(Q, R_chol, rank, fail, next_state)``: Q is a FULL (m, n)
+    orthonormal basis even for rank-deficient A (deficient columns
+    completed with projected Gaussians), ``rank`` counts the columns
+    that came from A, and R is the un-finalized CholQR factor (the
+    reference skips the preconditioner-undoing trmm in this mode,
+    rl_cqrrt.hh:247).
     """
     from ..errors import require
     require(A.shape[0] >= A.shape[1],
             "cqrrt requires a tall input (m >= n, rl_cqrrt.hh contract) "
             f"— got {A.shape}")
+    if cfg.orthogonalization:
+        if timing:
+            from ..utils.timing import PhaseTimer, device_sync
+            timer = PhaseTimer()
+            with timer.phase("total"):
+                out = _cqrrt_orth_jit(A, cfg, state, precision)
+                device_sync(out[0])
+            return (*out, timer.report())
+        return _cqrrt_orth_jit(A, cfg, state, precision)
     if timing:
         return _cqrrt_timed(A, cfg, state, precision)
     return _cqrrt_jit(A, cfg, state, precision)
+
+
+@partial(jax.jit, static_argnames=("cfg", "precision"))
+def _cqrrt_orth_jit(A: jax.Array, cfg: CQRRTConfig, state: RNGState,
+                    precision=STABLE_PRECISION):
+    """Orthogonalization mode (rl_cqrrt.hh:113-115): Q is ALWAYS a full
+    (m, n) orthonormal basis — deficient columns (small unpivoted sketch-R
+    diagonal, a column-wise mask since there is no pivoting to push them
+    trailing) are zeroed through the preconditioned CholQR (identity
+    padding in the Gram nests column-wise through Cholesky, exactly as
+    CQRRPT's trailing-block argument) and completed with BCGS2-projected
+    Gaussians. The R finalize (trmm undoing the preconditioner,
+    rl_cqrrt.hh:247) is skipped as in the reference: the returned R is
+    the CholQR factor of the preconditioned kept columns, meaningful only
+    as a byproduct. Returns ``(Q, R_chol, rank, fail, next_state)``."""
+    from ..ops.cholqr import _finite_scaled
+    from .cqrrpt import _orth_phase
+    m, n = A.shape
+    dtype = A.dtype
+    d = int(cfg.d_factor * n)
+    A_sk, state = _sketch(A, d, cfg, state, precision)
+    _, R_sk = qr_econ(A_sk)
+    d_sk = jnp.diag(R_sk)
+    mx = jnp.max(jnp.abs(d_sk))
+    eps = cfg.eps_rank or float(jnp.finfo(dtype).eps)
+    tol = jnp.where(mx > 0.0, mx * eps, jnp.asarray(1.0, dtype))
+    keep = (jnp.abs(d_sk) > tol).astype(dtype)
+    rank = jnp.sum(keep).astype(jnp.int32)
+    dsafe = jnp.where(keep > 0, d_sk, 1.0)
+    R_sk_safe = jnp.triu(R_sk) - jnp.diag(d_sk) + jnp.diag(dsafe)
+    A_pre = jax.lax.linalg.triangular_solve(
+        R_sk_safe, A, left_side=False, lower=False) * keep[None, :]
+    A_pre, s, nonfin = _finite_scaled(A_pre)
+    G = (jnp.matmul(A_pre.T, A_pre, precision=precision)
+         + jnp.diag(1.0 - keep))
+    L = jax.lax.linalg.cholesky(0.5 * (G + G.T))
+    fail = jnp.any(jnp.isnan(L)) | nonfin
+    L_safe = jnp.where(jnp.isnan(L), jnp.eye(n, dtype=dtype), L)
+    Q = jax.lax.linalg.triangular_solve(
+        L_safe.T, A_pre, left_side=False, lower=False)
+    key, state = state.spawn()
+    Q, fail = _orth_phase(Q, keep, key, fail, precision)
+    R = L_safe.T * s
+    return Q, R, rank, fail, state
 
 
 @partial(jax.jit, static_argnames=("cfg", "precision"))

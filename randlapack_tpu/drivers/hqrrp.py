@@ -380,6 +380,16 @@ def _hqrrp_core(A: jax.Array, cfg: HQRRPConfig, state: RNGState,
 
     with _phase("blocks"):
         carry = (A, Y, G, order, taus_g, retired, fail)
+        if timing and cfg.update_defer > 1:
+            # the timed route is the eager per-block step — a deferred
+            # config would measure a different execution structure than
+            # the one being benchmarked, so say so loudly
+            import warnings
+            warnings.warn(
+                "hqrrp(timing=True) forces eager trailing updates; "
+                f"cfg.update_defer={cfg.update_defer} is ignored in the "
+                "phase breakdown (time deferred configs with timing=False "
+                "whole-run aggregates instead)", stacklevel=3)
         if timing:
             # block-split run with the nested per-phase slots accumulated
             # (qrcp / qr / updating_A / updating_sketch / downdating — the

@@ -126,6 +126,70 @@ def shifted_cholqr3(A: jax.Array, precision=STABLE_PRECISION):
     return Q, R, f1 | f2 | f3
 
 
+def _clamp_triu_diag(R):
+    """Relative floor on a triangular factor's diagonal so the solve in
+    preconditioned_cholqr stays finite on deficient inputs (mirrors
+    drivers/bqrrp.py::_safe_triu_diag; local copy — ops must not import
+    drivers)."""
+    dtype = R.dtype
+    d = jnp.diag(R)
+    mx = jnp.max(jnp.abs(d))
+    ref = jnp.where(mx > 0.0, mx * jnp.finfo(dtype).eps,
+                    jnp.asarray(1.0, dtype))
+    dsafe = jnp.where(jnp.abs(d) > ref, d, ref)
+    return jnp.triu(R) - jnp.diag(d) + jnp.diag(dsafe)
+
+
+def cholqr_auto(A: jax.Array, precision=STABLE_PRECISION):
+    """Condition-aware self-routing CholQR (the reference's self-correcting
+    a-posteriori logic, rl_cqrrpt.hh:311-332, recast as a jit-safe rescue
+    ladder). The first Gram Cholesky gives a FREE condition estimate —
+    diag(R) ratios track the singular-value range — which picks the rung:
+
+      κ_est ≲ 0.1/√eps, finite   → CholeskyQR2 (the fast 2-GEMM path)
+      else                        → shifted CholQR3 (GEMM-form, measured
+                                    good to κ ≈ 3e5 f32, fails LOUDLY above)
+      scholqr3 fail / κ_est ≳ 0.03/eps → Householder-R preconditioned
+                                    CholQR (backward-stable R makes the
+                                    perfect preconditioner; measured
+                                    eps-level orthogonality to κ = 3e7 f32)
+
+    Every rescue rung is ``lax.cond``-lazy: well-conditioned inputs pay
+    CholeskyQR2 plus one diagonal reduction. Returns ``(Q, R, fail)``
+    where ``fail`` now means genuinely rank-deficient input (even the
+    backward-stable rung broke down) — the κ=1e4-class f32 cases that
+    plain cholqr/cholqr2 fail-flag come back at reference tolerance.
+    """
+    dtype = A.dtype
+    eps = jnp.finfo(dtype).eps
+    tiny = jnp.finfo(dtype).tiny
+    Q1, R1, f1 = cholqr(A, precision)
+    d1 = jnp.abs(jnp.diag(R1))
+    kappa = jnp.max(d1) / jnp.maximum(jnp.min(d1), tiny)
+    tau_fast = 0.1 / jnp.sqrt(eps)      # CholQR2 validity ceiling
+    tau_shift = 0.03 / eps              # shifted-CholQR3 ceiling (safety
+                                        # margin under the measured 3e5)
+    need_rescue = f1 | ~jnp.isfinite(kappa) | (kappa > tau_fast)
+
+    def _hqr_rung(_):
+        R_h = _clamp_triu_diag(jnp.linalg.qr(A, mode="r")[:A.shape[1], :])
+        Q, R, f = preconditioned_cholqr(A, R_h, precision)
+        return Q, R, f | jnp.any(~jnp.isfinite(Q))
+
+    def _shift_rung(_):
+        Qs, Rs, fs = shifted_cholqr3(A, precision)
+        ds = jnp.abs(jnp.diag(Rs))
+        ks = jnp.max(ds) / jnp.maximum(jnp.min(ds), tiny)
+        bad = fs | ~jnp.isfinite(ks) | (ks > tau_shift)
+        return jax.lax.cond(bad, _hqr_rung, lambda _: (Qs, Rs, fs), None)
+
+    def _fast_rung(_):
+        Q, R2, f2 = cholqr(Q1, precision)
+        return Q, jnp.matmul(R2, R1, precision=precision), f2
+
+    return jax.lax.cond(need_rescue, _shift_rung, _fast_rung, None)
+
+
 def preconditioned_cholqr(A: jax.Array, R_pre: jax.Array,
                           precision=STABLE_PRECISION):
     """CholQR of A·R_pre⁻¹ — the sketch-precondition pattern of CQRRT/CQRRPT

@@ -290,9 +290,17 @@ def dist_cqrrt(A: jax.Array, mesh: Mesh, state: RNGState,
         A_sk = jax.lax.with_sharding_constraint(
             jnp.matmul(S, A, precision=precision), repl)
         _, R_sk = qr_econ(A_sk)
-        dsafe = jnp.where(jnp.abs(jnp.diag(R_sk)) > 0.0,
-                          jnp.diag(R_sk), 1.0)
-        R_sk = jnp.triu(R_sk) - jnp.diag(jnp.diag(R_sk)) + jnp.diag(dsafe)
+        # eps-RELATIVE diagonal floor, same as cqrrt's _sketch_qr: an
+        # exact-zero-only clamp lets denormal-tiny diagonals through and
+        # the trsm blows A_pre up to the band guard's rescue instead of
+        # preventing it (advisor r3 finding)
+        d_sk = jnp.diag(R_sk)
+        mx_d = jnp.max(jnp.abs(d_sk))
+        ref_d = jnp.where(mx_d > 0.0,
+                          mx_d * jnp.finfo(dtype).eps,
+                          jnp.asarray(1.0, dtype))
+        dsafe = jnp.where(jnp.abs(d_sk) > ref_d, d_sk, ref_d)
+        R_sk = jnp.triu(R_sk) - jnp.diag(d_sk) + jnp.diag(dsafe)
         from ..ops.cholqr import _finite_scaled
         A_pre = jax.lax.linalg.triangular_solve(
             R_sk, A, left_side=False, lower=False)

@@ -71,6 +71,30 @@ class TestABRIK:
         cap = np.asarray(info["capture"])
         assert np.all(np.diff(cap) >= -1e-10)
 
+    def test_early_termination_fast_decay(self):
+        # fast-decay spectrum + tol > 0: the while_loop must stop before
+        # the full budget (rl_abrik.hh:454,595 Frobenius capture test)
+        # and the leading triplets must stay reference-accurate
+        from randlapack_tpu.gen import fast_decay_matrix
+        A, st = fast_decay_matrix(400, 300, RNGState(7), decay=30.0)
+        cfg = ABRIKConfig(block_size=16, max_iters=12)
+        U, S, Vt, info, _ = abrik(A, 16, cfg, RNGState(8), tol=1e-6)
+        iters = int(info["num_krylov_iters"])
+        assert iters < 12, f"expected early stop, ran {iters}/12"
+        s_ref = np.linalg.svd(np.asarray(A), compute_uv=False)
+        np.testing.assert_allclose(np.asarray(S[:8]), s_ref[:8],
+                                   rtol=1e-5)
+
+    def test_tol_zero_matches_full_budget(self):
+        # tol=0 must be bit-identical to the historical full-budget run
+        A, st = mat_gen(MatGenInfo(300, 200, MatType.exponential,
+                                   cond_num=1e6), RNGState(9))
+        cfg = ABRIKConfig(block_size=10, max_iters=6)
+        U0, S0, V0, info0, _ = abrik(A, 12, cfg, RNGState(10), tol=0.0)
+        U1, S1, V1, info1, _ = abrik(A, 12, cfg, RNGState(10), tol=1e-14)
+        np.testing.assert_allclose(np.asarray(S0), np.asarray(S1),
+                                   rtol=1e-12)
+
 
 class TestHQRRP:
     def test_factorization(self):

@@ -38,6 +38,46 @@ class TestCholQR:
         assert not bool(fail)
         assert _orth_err(Q) < ATOL * np.sqrt(60)
 
+    @pytest.mark.parametrize("cond", [10.0, 1e3, 1e4, 1e6, 1e7, 3e7])
+    def test_cholqr_auto_ladder_f32(self, cond):
+        # condition-aware auto-routing (VERDICT r3 item 5): the κ=1e4-class
+        # f32 inputs that cholqr/cholqr2 fail-flag must come back at
+        # reference tolerance via the lazy rescue ladder
+        from randlapack_tpu.ops import cholqr_auto
+        A, _ = mat_gen(MatGenInfo(2000, 100, MatType.exponential,
+                                  cond_num=cond), RNGState(7),
+                       dtype=jnp.float32)
+        Q, R, fail = cholqr_auto(A)
+        assert not bool(fail), f"auto ladder failed at cond={cond}"
+        hp = jax.lax.Precision.HIGHEST
+        orth = float(jnp.linalg.norm(
+            jnp.matmul(Q.T, Q, precision=hp) - jnp.eye(100, dtype=Q.dtype)))
+        res = float(jnp.linalg.norm(
+            jnp.matmul(Q, R, precision=hp) - A) / jnp.linalg.norm(A))
+        assert orth < 1e-4, f"cond={cond} orth={orth}"
+        assert res < 1e-5, f"cond={cond} res={res}"
+
+    def test_cholqr_auto_rank_deficient_flags(self):
+        # genuinely rank-deficient input: the ladder must flag, not NaN
+        from randlapack_tpu.ops import cholqr_auto
+        A, _ = mat_gen(MatGenInfo(400, 40, MatType.exponential,
+                                  cond_num=10), RNGState(8),
+                       dtype=jnp.float32)
+        A = A.at[:, 20:].set(A[:, :20])  # exact rank 20
+        Q, R, fail = cholqr_auto(A)
+        assert bool(jnp.all(jnp.isfinite(Q)))
+
+    def test_stab_auto_routes(self):
+        from randlapack_tpu.comps.orth import Stab, orth
+        A, _ = mat_gen(MatGenInfo(1000, 50, MatType.exponential,
+                                  cond_num=1e5), RNGState(9),
+                       dtype=jnp.float32)
+        Q, fail = orth(A, Stab.auto)
+        assert not bool(fail)
+        assert float(jnp.linalg.norm(
+            jnp.matmul(Q.T, Q, precision=jax.lax.Precision.HIGHEST)
+            - jnp.eye(50, dtype=Q.dtype))) < 1e-4
+
     def test_cholqr_fails_on_bad(self):
         # cond ~ 1/sqrt(eps_f64) breaks one-pass CholQR's Gram matrix
         A, _ = bad_cholqr_matrix(400, 50, RNGState(2), jnp.float64,

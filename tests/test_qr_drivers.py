@@ -161,6 +161,50 @@ class TestBQRRP:
         assert float(util.orthogonality_check(Q[:, :r])) < ATOL * np.sqrt(r) * 10
 
 
+class TestCQRRTOrthogonalization:
+    def test_basis_completion_trailing(self):
+        # rank-deficient tall input -> FULL orthonormal Q (rl_cqrrt.hh:113)
+        A, st = mat_gen(MatGenInfo(1500, 50, MatType.exponential,
+                                   cond_num=100), RNGState(60))
+        A = jnp.concatenate([A, A[:, :30]], axis=1)  # 80 cols, rank 50
+        Q, R, rank, fail, _ = cqrrt(
+            A, CQRRTConfig(orthogonalization=True), RNGState(61))
+        assert 50 <= int(rank) <= 52
+        assert float(util.orthogonality_check(Q)) < 1e-9 * np.sqrt(80)
+        # Q spans col(A): every column of A (kept or deficient) projects in
+        proj = float(jnp.linalg.norm(A - Q @ (Q.T @ A))
+                     / jnp.linalg.norm(A))
+        assert proj < ATOL * 10
+
+    def test_basis_completion_interspersed(self):
+        # deficient columns in the MIDDLE (no pivoting pushes them
+        # trailing — the column-wise keep mask must handle this)
+        A, st = mat_gen(MatGenInfo(1200, 40, MatType.exponential,
+                                   cond_num=100), RNGState(62))
+        cols = [A[:, :15], A[:, 3:10], A[:, 15:]]  # dup block interspersed
+        A2 = jnp.concatenate(cols, axis=1)          # 47 cols, rank 40
+        Q, R, rank, fail, _ = cqrrt(
+            A2, CQRRTConfig(orthogonalization=True), RNGState(63))
+        assert 40 <= int(rank) <= 42
+        assert float(util.orthogonality_check(Q)) < 1e-9 * np.sqrt(47)
+        proj = float(jnp.linalg.norm(A2 - Q @ (Q.T @ A2))
+                     / jnp.linalg.norm(A2))
+        assert proj < ATOL * 10
+
+    def test_full_rank_matches_plain(self):
+        # full-rank input: orth mode is just CQRRT with an extra
+        # (no-op-selecting) completion — Q must still factor A
+        A, st = mat_gen(MatGenInfo(1000, 60, MatType.exponential,
+                                   cond_num=1e6), RNGState(64))
+        Q, R, rank, fail, _ = cqrrt(
+            A, CQRRTConfig(orthogonalization=True), RNGState(65))
+        assert int(rank) == 60 and not bool(fail)
+        assert float(util.orthogonality_check(Q)) < 1e-9 * np.sqrt(60)
+        proj = float(jnp.linalg.norm(A - Q @ (Q.T @ A))
+                     / jnp.linalg.norm(A))
+        assert proj < ATOL * 10
+
+
 class TestCQRRPTOrthogonalization:
     def test_basis_completion(self):
         # rank-deficient input + orthogonalization mode -> FULL orthonormal Q
