@@ -100,6 +100,21 @@ class BQRRPConfig:
                                   # squaring — the explicit driver's
                                   # route, enables b ≥ 1024); "auto" =
                                   # gram for b ≤ 512, qr above
+    trailing_precision: str = "highest"
+                                  # factored form: precision of the two
+                                  # trailing-update GEMMs (W = Vᵀ·A and
+                                  # the group-end A −= V·Z) — the FLOP
+                                  # bulk. "highest" = f32 MXU (status
+                                  # quo); "default" = XLA default
+                                  # precision (bf16_3x on TPU, 30.5 vs
+                                  # 17.2 TF/s measured — VERDICT r4
+                                  # mixed-precision experiment);
+                                  # "bf16_3x_emul" = explicit bf16-split
+                                  # emulation of the TPU default, for
+                                  # CPU-side quality studies. Panel math,
+                                  # R11/R12 extraction corrections, and
+                                  # the sketch downdate stay at the
+                                  # driver ``precision`` in every mode.
     update_defer: int = 1         # both forms: aggregate this many
                                   # consecutive blocks' rank-b trailing
                                   # updates (the thin-k V·Z GEMMs, the
@@ -582,8 +597,8 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
     ends with ONE k = g·b masked GEMM. Identical math to the eager loop
     (the corrections are exact, not approximations), better MXU shapes.
     """
-    from ..ops.pallas_wy import (masked_vt_a_routed,
-                                 a_minus_vz_masked_routed)
+    from ..ops.pallas_wy import (masked_vt_a_mixed,
+                                 a_minus_vz_masked_mixed)
     m, n = A.shape
     b = bsz
     dtype = A.dtype
@@ -704,7 +719,8 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
         live2 = live.at[chosen].set(0.0)
 
         # -- W = Vᵀ·(A_true ⊙ live2); U = Tᵀ·W (update stays deferred) --
-        W = masked_vt_a_routed(V, A, live2, precision, _pallas)
+        W = masked_vt_a_mixed(V, A, live2, cfg.trailing_precision,
+                              precision, _pallas)
         if j > 0:
             W = W - jnp.matmul(
                 jnp.matmul(V.T, Vg, precision=precision),
@@ -754,8 +770,9 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
                 Vg, Ug, carry = subblock(i0 + j, j, Vg, Ug, carry)
             A, Y, Vall, Ts, order, retired, fail = carry
             live_end = 1.0 - retired
-            A = a_minus_vz_masked_routed(A, Vg, Ug, live_end, precision,
-                                         _pallas)
+            A = a_minus_vz_masked_mixed(A, Vg, Ug, live_end,
+                                        cfg.trailing_precision,
+                                        precision, _pallas)
             return (A, Y, Vall, Ts, order, retired, fail)
         return group
 

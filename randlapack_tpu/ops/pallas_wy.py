@@ -34,6 +34,52 @@ def a_minus_vz_masked_reference(A, V, Z, mask, precision=HP):
     return A - jnp.matmul(V, Z, precision=precision) * mask[None, :]
 
 
+def bf16_3x_matmul(X, Y):
+    """Explicit bf16-split emulation of the TPU's DEFAULT f32 matmul
+    precision (the bf16_3x decomposition): split each operand into a
+    bfloat16 high part and a bfloat16 residual, take the three dominant
+    cross products in bf16 inputs with f32 accumulation. Used for
+    CPU-side quality studies of mixed-precision trailing updates
+    (BQRRPConfig.trailing_precision="bf16_3x_emul") — on CPU the
+    "default" precision is true f32, so the TPU error model must be
+    emulated to be measured."""
+    dtype = X.dtype
+    xh = X.astype(jnp.bfloat16)
+    xl = (X - xh.astype(dtype)).astype(jnp.bfloat16)
+    yh = Y.astype(jnp.bfloat16)
+    yl = (Y - yh.astype(dtype)).astype(jnp.bfloat16)
+
+    def f(a, b):
+        return jnp.matmul(a, b, preferred_element_type=jnp.float32)
+
+    return (f(xh, yh) + (f(xh, yl) + f(xl, yh))).astype(dtype)
+
+
+def masked_vt_a_mixed(V, A, mask, trailing_precision, precision=HP,
+                      use_pallas="auto"):
+    """W = Vᵀ·(A ⊙ mask) at the configured trailing precision.
+    "highest" keeps the routed (Pallas-capable) HIGHEST path; "default"
+    drops to XLA default precision (bf16_3x on TPU) on the jnp path;
+    "bf16_3x_emul" emulates the TPU default explicitly (CPU studies)."""
+    if trailing_precision == "highest":
+        return masked_vt_a_routed(V, A, mask, precision, use_pallas)
+    if trailing_precision == "default":
+        return jnp.matmul(V.T, A * mask[None, :], precision=None)
+    return bf16_3x_matmul(V.T, A * mask[None, :])
+
+
+def a_minus_vz_masked_mixed(A, V, Z, mask, trailing_precision,
+                            precision=HP, use_pallas="auto"):
+    """A − (V·Z) ⊙ mask at the configured trailing precision (see
+    masked_vt_a_mixed)."""
+    if trailing_precision == "highest":
+        return a_minus_vz_masked_routed(A, V, Z, mask, precision,
+                                        use_pallas)
+    if trailing_precision == "default":
+        return A - jnp.matmul(V, Z, precision=None) * mask[None, :]
+    return A - bf16_3x_matmul(V, Z) * mask[None, :]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def masked_vt_a(V: jax.Array, A: jax.Array, mask: jax.Array,
                 interpret: bool = False) -> jax.Array:

@@ -9,10 +9,13 @@ implementation here is the Gram/eigh route:
     p ≤ q:  eigh(B Bᵀ) → U, σ²;  Vᵀ = diag(1/σ)·UᵀB
     p > q:  eigh(BᵀB) → V, σ²;  U  = B·V·diag(1/σ)
 
-Accuracy model: the eigenVECTORS carry the Gram route's ~eps·(λ₁/gap)
-subspace error, but the singular VALUES are Rayleigh-refined (σᵢ = ‖Bvᵢ‖,
-one already-needed GEMM) to relative error ~eps·σ₁/σᵢ — an eps^½ → eps^¾
-extension of the reliable range at the √eps·σ₁ cutoff. Vectors for
+Accuracy (MEASURED, docs/svd_envelope.md): the Rayleigh refinement
+(σᵢ = ‖Bvᵢ‖, one already-needed GEMM) extends the λ-path's range, but
+its floor is set by eigh's f32 subspace contamination, NOT by the naive
+eps·σ₁/σᵢ model — on dense decaying spectra, values are ~1e-4-accurate
+for σ ≥ 1e-2·σ₁ and ~1e-3-accurate down to σ ≈ 3e-3·σ₁, degrading to
+O(10%) near the √eps·σ₁ cutoff; flat/clustered spectra are accurate
+throughout; triplet residuals stay ≤ ~1e-3·σ₁ everywhere. Vectors for
 σ < √eps·σ₁ are zeroed. Refined values are re-sorted descending (they can
 swap order within their error band vs eigh's λ sort, and downstream S[:k]
 truncations assume monotone s). For f64 correctness-critical paths use

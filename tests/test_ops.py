@@ -237,3 +237,69 @@ class TestRandBLASSmallUtils:
                                    np.arange(16.0).reshape(4, 4).T)
         with pytest.raises(AssertionError):
             util.transpose_square(jnp.zeros((3, 4)))
+
+
+class TestSVDEnvelope:
+    """Pin the MEASURED f32 accuracy envelope of the gram_eigh SVD route
+    (docs/svd_envelope.md; tools/svd_envelope_sweep.py). The route is the
+    forced SVD on the TPU backend, so its trustworthy-sigma region is a
+    library contract, not an implementation detail."""
+
+    @staticmethod
+    def _factor(p, q, kappa, seed):
+        rng = np.random.default_rng(seed)
+        k = min(p, q)
+        s = np.logspace(0, -np.log10(kappa), k)
+        U, _ = np.linalg.qr(rng.standard_normal((p, k)))
+        V, _ = np.linalg.qr(rng.standard_normal((q, k)))
+        return jnp.asarray((U * s) @ V.T, jnp.float32), s
+
+    @pytest.mark.parametrize("p,q,kappa", [(256, 256, 1e6),
+                                           (128, 1024, 1e8)])
+    def test_value_envelope_f32(self, p, q, kappa):
+        from randlapack_tpu.ops.svd import svd_econ
+        B, s_true = self._factor(p, q, kappa, seed=p + q)
+        U, s, Vt = svd_econ(B, method="gram_eigh")
+        s = np.asarray(s)[:len(s_true)]
+        rel = np.abs(s - s_true) / s_true
+        ratio = s_true / s_true[0]
+        # rule 1: sigma >= 1e-2*sigma_1 good to ~1e-4 (5x safety margin)
+        assert np.all(rel[ratio >= 1e-2] < 5e-4), \
+            f"shallow values degraded: {rel[ratio >= 1e-2].max():.2e}"
+        # rule 2: sigma >= 1e-2..3e-3 region good to ~1e-3 is spectrum-
+        # dependent (measured 2.3e-3..9.6e-3 boundary); assert the
+        # conservative 1e-2 boundary at the 1e-3 level as the contract
+        assert np.all(rel[ratio >= 1e-2] < 1e-3)
+
+    def test_triplet_residual_envelope_f32(self):
+        from randlapack_tpu.ops.svd import svd_econ
+        B, s_true = self._factor(256, 256, 1e8, seed=3)
+        U, s, Vt = svd_econ(B, method="gram_eigh")
+        U, s, Vt = (np.asarray(U, np.float64), np.asarray(s, np.float64),
+                    np.asarray(Vt, np.float64))
+        Bf = np.asarray(B, np.float64)
+        r1 = np.linalg.norm(Bf @ Vt.T - U * s, axis=0)
+        r2 = np.linalg.norm(Bf.T @ U - Vt.T * s, axis=0)
+        res = np.maximum(r1, r2) / s_true[0]
+        # rule 4: consistent factors across the returned spectrum
+        # (measured <= 1.1e-3; 3x margin)
+        assert float(res.max()) < 3.5e-3, f"triplet residual {res.max():.2e}"
+
+    def test_flat_spectrum_accurate_throughout(self):
+        # rule 5: step spectra (flat head + cliff) stay accurate at depth
+        # — FULL-RANK factor (a tail cluster sitting just above a null
+        # space loses its vectors to eigh null-space mixing instead; that
+        # regime is below the trust region by construction)
+        from randlapack_tpu.ops.svd import svd_econ
+        rng = np.random.default_rng(7)
+        k = 300
+        s_true = np.ones(k); s_true[k // 2:] = 1e-5
+        U, _ = np.linalg.qr(rng.standard_normal((400, k)))
+        V, _ = np.linalg.qr(rng.standard_normal((k, k)))
+        B = jnp.asarray((U * s_true) @ V.T, jnp.float32)
+        _, s, _ = svd_econ(B, method="gram_eigh")
+        s = np.asarray(s)[:k]
+        rel = np.abs(s - s_true) / s_true
+        head, tail = rel[:k // 2], rel[k // 2:]
+        assert np.all(head < 1e-5), f"flat head degraded: {head.max():.2e}"
+        assert np.all(tail < 1e-2), f"cliff tail degraded: {tail.max():.2e}"
