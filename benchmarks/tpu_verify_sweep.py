@@ -127,6 +127,28 @@ def main():
     finally:
         jax.config.update("jax_enable_x64", False)
 
+    # r3 OPEN worker-fault regression (LAST in the quick tier on purpose:
+    # if these wedge the chip, everything above has already reported).
+    # Default config (full-width LU), the two shapes that killed the
+    # worker in round 3 even after _sanitize_sketch. Round-4 hardening:
+    # the structural-deficiency pad in ops/qr.py::lu_pivot_columns keeps
+    # every elimination pivot nonzero (the last block has live=512 < d=640
+    # sketch rows -> exact-zero pivots inside the TPU LU kernel were the
+    # remaining suspect).
+    for (mf, nf) in ((2560, 2048), (4096, 2048)):
+        Af, stf = fast_decay_matrix(mf, nf, RNGState(3),
+                                    dtype=jnp.float32, decay=9.0)
+        Qf, Rf, Jf, rkf, ff, _ = bqrrp(Af, BQRRPConfig(block_size=512),
+                                       stf)
+        qr_invariants(f"bqrrp explicit {mf}x{nf} b512 (fault regression)",
+                      Af, Qf, Rf, Jf, ff, res_tol,
+                      eps ** 0.75 * np.sqrt(nf) * 10)
+        facf, _ = bqrrp_factored(Af, BQRRPConfig(block_size=512),
+                                 RNGState(4))
+        qr_invariants(f"bqrrp_factored {mf}x{nf} b512 (fault regression)",
+                      Af, bqrrp_q(facf), facf.R, facf.J, facf.fail,
+                      res_tol, eps ** 0.75 * np.sqrt(nf) * 10)
+
     if mode == "full":
         n2 = 4096
         A2, st3 = fast_decay_matrix(n2, n2, RNGState(2), dtype=jnp.float32)

@@ -63,7 +63,19 @@ def stabilize(A: jax.Array, method: Stab = Stab.plu,
         finite = jnp.isfinite(A)
         bad = ~jnp.all(finite)
         A = jnp.where(finite, A, 0.0)
-        lu, _, perm = jax.lax.linalg.lu(A)
+        # structural-deficiency pad (see ops/qr.py::lu_pivot_columns):
+        # keep every elimination pivot nonzero so the TPU kernel never
+        # generates 0/0 internally. δ = 2^(e_max−40) is an exact power of
+        # two BELOW f32 eps relative to the data scale — invisible to the
+        # stabilized basis, only lifts exact-zero pivot structure.
+        from ..ops.cholqr import _pow2
+        m_, n_ = A.shape
+        mx = jnp.max(jnp.abs(A))
+        e = jnp.floor(jnp.log2(jnp.where(mx > 0, mx, 1.0))).astype(
+            jnp.int32)
+        pad = _pow2(e - 40, A.dtype) * jax.nn.one_hot(
+            jnp.arange(m_) % n_, n_, dtype=A.dtype)
+        lu, _, perm = jax.lax.linalg.lu(A + pad)
         L = jnp.tril(lu[:, :A.shape[1]], -1) + jnp.eye(
             A.shape[0], A.shape[1], dtype=A.dtype)
         # un-permute rows so range is preserved: P^T L

@@ -160,14 +160,18 @@ def _select_pivots(Y_m, b, retired, cfg: BQRRPConfig, dtype, precision):
                 sub, b, jnp.ones((n_cand,), dtype), precision)
             return jnp.take(cand, sub_chosen)
         return qrcp_select_pivots(Y_m, b, live, precision)
+    # route through ops.qr.lu_pivot_columns: it carries the finite guard
+    # AND the structural-deficiency pad (exact-zero pivots inside the TPU
+    # LU kernel are the r3 "second fault path" suspect)
+    from ..ops.qr import lu_pivot_columns
     if cfg.pivot_candidates is not None:
         n_cand = min(n, cfg.pivot_candidates * b)
         norms2 = jnp.sum(Y_m * Y_m, axis=0)
         _, cand = jax.lax.top_k(norms2, n_cand)
         sub = jnp.take(Y_m, cand, axis=1)
-        _, _, perm_sub = jax.lax.linalg.lu(sub.T)
+        perm_sub = lu_pivot_columns(sub.T)
         return jnp.take(cand, perm_sub[:b])
-    _, _, perm_lu = jax.lax.linalg.lu(Y_m.T)
+    perm_lu = lu_pivot_columns(Y_m.T)
     return perm_lu[:b]
 
 

@@ -276,5 +276,24 @@ def lu_pivot_columns(A_panel_t: jax.Array):
     # TPU LU wedges the worker on Inf operands (drivers/bqrrp.py::
     # _sanitize_sketch) — non-finite columns carry no pivot information
     A_panel_t = jnp.where(jnp.isfinite(A_panel_t), A_panel_t, 0.0)
-    _, _, perm = jax.lax.linalg.lu(A_panel_t)
+    # STRUCTURAL-DEFICIENCY PAD: when fewer than d rows are nonzero
+    # (masked/retired sketch columns, or rank < d), textbook elimination
+    # hits an exactly-zero pivot — 0/0 and 1/0 arise INSIDE the kernel,
+    # and the TPU LU kernel's behavior on internally-generated Inf/NaN is
+    # exactly the class that wedges the worker (r3 "second fault path"
+    # suspect; unprovable off-chip, harmless to prevent). A cyclic
+    # identity pattern at δ = 2^(e_max - 40) — an EXACT power of two, so
+    # the pow2 scale-equivariance pinned in test_property_sweeps holds —
+    # makes every pivot nonzero while sitting 2^-40 below the data scale:
+    # pivot ORDER among live columns is unchanged except at δ-level ties,
+    # where any choice is equally valid (and _fix_pivots remaps retired
+    # picks anyway).
+    n, d = A_panel_t.shape
+    from .cholqr import _pow2
+    mx = jnp.max(jnp.abs(A_panel_t))
+    e = jnp.floor(jnp.log2(jnp.where(mx > 0, mx, 1.0))).astype(jnp.int32)
+    delta = _pow2(e - 40, A_panel_t.dtype)
+    pad = delta * jax.nn.one_hot(jnp.arange(n) % d, d,
+                                 dtype=A_panel_t.dtype)
+    _, _, perm = jax.lax.linalg.lu(A_panel_t + pad)
     return perm.astype(jnp.int32)
