@@ -101,10 +101,12 @@ class BQRRPConfig:
                                   # route, enables b ≥ 1024); "auto" =
                                   # gram for b ≤ 512, qr above
     trailing_precision: str = "highest"
-                                  # factored form: precision of the two
-                                  # trailing-update GEMMs (W = Vᵀ·A and
-                                  # the group-end A −= V·Z) — the FLOP
-                                  # bulk. "highest" = f32 MXU (status
+                                  # BOTH forms: precision of the trailing
+                                  # -update GEMMs — factored: W = Vᵀ·A
+                                  # and the group-end A −= V·Z; explicit:
+                                  # the A_work −= Q·T GEMM only (T = QᵀA
+                                  # becomes R rows and stays at driver
+                                  # precision). "highest" = f32 MXU (status
                                   # quo); "default" = XLA default
                                   # precision (bf16_3x on TPU, 30.5 vs
                                   # 17.2 TF/s measured — VERDICT r4
@@ -206,6 +208,19 @@ def _fix_pivots(chosen, retired):
     # healthy blocks skip the remap (lax.cond executes one branch)
     return jax.lax.cond(jnp.all(valid), lambda a: a[0], remap,
                         (chosen, valid))
+
+
+def _tp_matmul(X, Y, trailing_precision, precision):
+    """X·Y at the configured trailing precision (see
+    BQRRPConfig.trailing_precision): "highest" = driver precision,
+    "default" = XLA default (bf16_3x on TPU), "bf16_3x_emul" = explicit
+    emulation for CPU quality studies."""
+    if trailing_precision == "highest":
+        return jnp.matmul(X, Y, precision=precision)
+    if trailing_precision == "default":
+        return jnp.matmul(X, Y, precision=None)
+    from ..ops.pallas_wy import bf16_3x_matmul
+    return bf16_3x_matmul(X, Y)
 
 
 def _sanitize_sketch(Y, fail, dtype):
@@ -348,7 +363,14 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
         T = T * live[None, :]
         T = T.at[:, chosen].set(R11)                    # exact panel block
         if not deferred:
-            A_work = A_work - jnp.matmul(Q_panel, T, precision=precision)
+            # trailing A update at cfg.trailing_precision — T itself (the
+            # R rows) always stays at the driver precision; only the
+            # rank-b A_work GEMM (half the trailing FLOPs) drops to the
+            # fast rate (bf16_3x on TPU), mirroring the factored form's
+            # measured-safe split
+            A_work = A_work - _tp_matmul(Q_panel, T,
+                                         cfg.trailing_precision,
+                                         precision)
 
         # -- sketch downdate ----------------------------------------------
         SQ = jax.lax.linalg.triangular_solve(
@@ -386,8 +408,11 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
                     Qg, Tg, carry = block(i0 + j, carry, j, Qg, Tg)
                 A_work, A_sk, Qp_, R, order, retired, fl = carry
                 # ONE wide k = gsz·b trailing update (same GEMM sum as
-                # the per-block sequence, reordered)
-                A_work = A_work - jnp.matmul(Qg, Tg, precision=precision)
+                # the per-block sequence, reordered) — at
+                # cfg.trailing_precision (see the eager branch)
+                A_work = A_work - _tp_matmul(Qg, Tg,
+                                             cfg.trailing_precision,
+                                             precision)
                 return (A_work, A_sk, Qp_, R, order, retired, fl)
             return group
 

@@ -51,6 +51,13 @@ class CQRRPTConfig:
                                   # BQRRP (the headline's stages=2 knob)
     bqrrp_pivot_candidates: int | None = None  # sketch-BQRRP candidate
                                                # preselection multiple
+    bqrrp_trailing_precision: str = "highest"
+                                  # sketch-BQRRP trailing-update GEMM
+                                  # precision (drivers/bqrrp.py knob) —
+                                  # the qrcp phase is the warm
+                                  # breakdown's biggest slice and its
+                                  # trailing A_work GEMM does not touch
+                                  # the R rows used as the preconditioner
     bqrrp_update_defer: int = 1   # sketch-BQRRP aggregated trailing
                                   # updates (k = defer·b GEMMs — the
                                   # sketch QRCP is the warm breakdown's
@@ -111,7 +118,9 @@ def _qrcp_phase(A_sk, cfg: CQRRPTConfig, state, precision):
             A_sk, BQRRPConfig(block_size=cfg.bqrrp_block,
                               stages=cfg.bqrrp_stages,
                               pivot_candidates=cfg.bqrrp_pivot_candidates,
-                              update_defer=cfg.bqrrp_update_defer),
+                              update_defer=cfg.bqrrp_update_defer,
+                              trailing_precision=(
+                                  cfg.bqrrp_trailing_precision)),
             state, precision)
         R_sk = R_sk[:n, :]
     return R_sk, J, state

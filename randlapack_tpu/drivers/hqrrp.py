@@ -316,8 +316,13 @@ def _hqrrp_block_step(carry, c, bsz, cfg: HQRRPConfig, precision,
             device_sync(W)
 
     # 3. compact-WY trailing update on the remaining live columns
-    with _phase("updating_A"):
+    # (nested slots per rl_hqrrp.hh's timing_QR vector: the T-factor
+    # build is timed apart from the two trailing GEMMs)
+    with _phase("wy_t"):
         T, Vz = wy_T(V, taus, precision)
+        if timer is not None:
+            device_sync(T)
+    with _phase("updating_A"):
         live2 = live.at[chosen].set(0.0)
         Wk = jnp.matmul(Vz.T, A * live2[None, :], precision=precision)
         Upd = jnp.matmul(Vz, jnp.matmul(T.T, Wk, precision=precision),
@@ -327,10 +332,15 @@ def _hqrrp_block_step(carry, c, bsz, cfg: HQRRPConfig, precision,
             device_sync(A)
 
     # 4. sketch downdate: G <- G.Q_blk; Y2 -= G_new[:, c:c+b].R12
-    with _phase("updating_sketch"):
+    # (split: the d×m G rotation vs the d×n Y downdate — the reference's
+    # updating_Sketch slot covers both, rl_hqrrp.hh:1152)
+    with _phase("updating_sketch_g"):
         GV = jnp.matmul(G, Vz, precision=precision)
         G = G - jnp.matmul(jnp.matmul(GV, T, precision=precision), Vz.T,
                            precision=precision)
+        if timer is not None:
+            device_sync(G)
+    with _phase("updating_sketch_y"):
         B = jax.lax.dynamic_slice(G, (0, c), (d, bsz))
         R12 = jax.lax.dynamic_slice(A, (c, 0), (bsz, n)) * live2[None, :]
         Y = Y - jnp.matmul(B, R12, precision=precision) * live2[None, :]

@@ -263,6 +263,70 @@ class TestUpdateDefer:
         assert res < 1e-13
 
 
+class TestTrailingPrecision:
+    """Mixed-precision trailing updates (VERDICT r4): the bf16_3x
+    emulation of the TPU's default matmul precision must keep residual
+    within f32 reference tolerance (measured CPU envelope ~5.5e-6 vs
+    7.5e-7 at HIGHEST) and leave orthogonality untouched. CQRRPT's
+    sketch-QRCP trailing must be completely insensitive (the R rows it
+    consumes never see the trailing GEMM)."""
+
+    def test_factored_emul_quality(self):
+        from randlapack_tpu.gen import fast_decay_matrix
+        A, _ = fast_decay_matrix(512, 512, RNGState(0),
+                                 dtype=jnp.float32)
+        hp = jax.lax.Precision.HIGHEST
+        res = {}
+        for tp in ("highest", "bf16_3x_emul"):
+            cfg = BQRRPConfig(block_size=128, trailing_precision=tp)
+            fac, _ = bqrrp_factored(A, cfg, RNGState(1))
+            Q = bqrrp_q(fac)
+            res[tp] = float(jnp.linalg.norm(
+                jnp.matmul(Q, fac.R, precision=hp)
+                - jnp.take(A, fac.J, axis=1)) / jnp.linalg.norm(A))
+            orth = float(jnp.linalg.norm(
+                jnp.matmul(Q.T, Q, precision=hp)
+                - jnp.eye(512, dtype=Q.dtype)))
+            assert orth < 1e-4, (tp, orth)
+            assert not bool(fac.fail)
+        assert res["highest"] < 3e-6
+        assert res["bf16_3x_emul"] < 3e-5   # measured ~5.5e-6; 5x margin
+
+    def test_explicit_emul_quality(self):
+        from randlapack_tpu.drivers import bqrrp
+        from randlapack_tpu.gen import fast_decay_matrix
+        A, _ = fast_decay_matrix(512, 512, RNGState(2),
+                                 dtype=jnp.float32)
+        hp = jax.lax.Precision.HIGHEST
+        cfg = BQRRPConfig(block_size=128,
+                          trailing_precision="bf16_3x_emul")
+        Q, R, J, rank, fail, _ = bqrrp(A, cfg, RNGState(3))
+        res = float(jnp.linalg.norm(
+            jnp.matmul(Q, R, precision=hp) - jnp.take(A, J, axis=1))
+            / jnp.linalg.norm(A))
+        assert res < 3e-5 and not bool(fail), res
+
+    def test_cqrrpt_insensitive_to_sketch_trailing(self):
+        from randlapack_tpu.drivers import CQRRPTConfig, cqrrpt
+        from randlapack_tpu.gen import fast_decay_matrix
+        A, _ = fast_decay_matrix(4096, 256, RNGState(4),
+                                 dtype=jnp.float32, decay=6.0)
+        outs = {}
+        for tp in ("highest", "bf16_3x_emul"):
+            cfg = CQRRPTConfig(bqrrp_trailing_precision=tp)
+            Q, R, J, rank, fail, _ = cqrrpt(A, cfg, RNGState(5))
+            outs[tp] = (np.asarray(J), np.asarray(R))
+            assert not bool(fail)
+        # identical pivots; R equal to f32 roundoff (the preconditioner
+        # path never reads the trailing GEMM's output rows)
+        np.testing.assert_array_equal(outs["highest"][0],
+                                      outs["bf16_3x_emul"][0])
+        np.testing.assert_allclose(outs["highest"][1],
+                                   outs["bf16_3x_emul"][1],
+                                   rtol=0, atol=1e-5 * float(
+                                       np.abs(outs["highest"][1]).max()))
+
+
 class TestF64PivotRoute:
     """x64 auto-route: when XLA's LU can't do the dtype (TPU), pivot
     selection switches to the Householder QRCP — simulated here by

@@ -67,9 +67,10 @@ class TestDriverTiming:
         A, st = _mat(200, 150, seed=5)
         out = hqrrp(A, HQRRPConfig(block_size=50), st, timing=True)
         phases = out[6]
-        # top-level + the nested per-iteration slots (26-slot analogue)
-        assert {"sketch", "blocks", "epilogue", "qrcp", "qr",
-                "updating_A", "updating_sketch",
+        # top-level + the nested per-iteration slots (26-slot analogue;
+        # r4 adds wy_t and splits the sketch downdate into its G/Y halves)
+        assert {"sketch", "blocks", "epilogue", "qrcp", "qr", "wy_t",
+                "updating_A", "updating_sketch_g", "updating_sketch_y",
                 "downdating"} <= set(phases)
         # timed block-split run must match the fused run
         ref = hqrrp(A, HQRRPConfig(block_size=50), st)

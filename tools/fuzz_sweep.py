@@ -15,6 +15,8 @@ import random
 import sys
 import traceback
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -59,9 +61,39 @@ def rand_scale(rng):
     return 2.0 ** k
 
 
+def mutate_columns(A, rng, trial):
+    """Round-4 failure modes (VERDICT r3 item 10): mixed-scale columns,
+    near-duplicate columns, zero/denormal columns — the classes the
+    uniform-scale grids of rounds 2-3 never generated. Returns
+    (A_mutated, tag_suffix)."""
+    n = A.shape[1]
+    key = jax.random.key(1_000_003 * trial + 7)
+    roll = rng.random()
+    if roll < 0.25:
+        # mixed-scale columns: per-column pow2 exponents spanning 2^±50
+        ks = jax.random.randint(key, (n,), -50, 51).astype(A.dtype)
+        return A * (2.0 ** ks)[None, :], ":colscale"
+    if roll < 0.45:
+        # near-duplicate columns: copy a random prefix block onto a
+        # random suffix block with relative 1e-9 noise (rank collapse
+        # just above eps — pivot logic must not loop or mis-rank)
+        kdup = max(1, n // 3)
+        noise = 1e-9 * jax.random.normal(key, (A.shape[0], kdup),
+                                         A.dtype)
+        scale_ref = jnp.max(jnp.abs(A[:, :kdup]))
+        A = A.at[:, n - kdup:].set(A[:, :kdup] + noise * scale_ref)
+        return A, ":neardup"
+    if roll < 0.55:
+        # a zero column and a denormal-scale column
+        A = A.at[:, n // 2].set(0.0)
+        A = A.at[:, max(0, n // 2 - 1)].multiply(1e-300)
+        return A, ":zerodenorm"
+    return A, ""
+
+
 for trial in range(TRIALS):
     kind = rng.choice(["bqrrp", "factored", "hqrrp", "cqrrpt", "spls",
-                       "dist", "dist_spls", "abrik"])
+                       "dist", "dist_spls", "abrik", "cqrrt"])
     scale = rand_scale(rng)
     tag = f"t{trial}:{kind}:s{scale:.0e}"
     try:
@@ -81,7 +113,8 @@ for trial in range(TRIALS):
                                            [1, 3, 6, 9])),
                             RNGState(SEED + trial))
             A = A * scale
-            tag += f" m{m} n{n} b{b}"
+            A, mut = mutate_columns(A, rng, trial)
+            tag += f" m{m} n{n} b{b}{mut}"
             if kind == "bqrrp":
                 cfg = BQRRPConfig(block_size=b, stages=rng.choice([1, 2, 3]),
                                   pivot_candidates=rng.choice([None, 2, 4]),
@@ -115,6 +148,40 @@ for trial in range(TRIALS):
                     orthogonalization=rng.random() < 0.3)
                 Q, R, J, rank, fail, _ = cqrrpt(A, cfg, st)
                 check_qr(tag, A, Q[:, :int(rank)], R[:int(rank)], J, fail)
+        elif kind == "cqrrt":
+            from randlapack_tpu.drivers import (CQRRTConfig, SketchKind,
+                                                cqrrt)
+            n = rng.choice([24, 40, 64, 100])
+            m = rng.choice([4, 8, 16]) * n
+            A, st = mat_gen(MatGenInfo(m, n, rng.choice(mts),
+                                       cond_num=10 ** rng.choice(
+                                           [1, 3, 6])),
+                            RNGState(SEED + trial))
+            A = A * scale
+            A, mut = mutate_columns(A, rng, trial)
+            orth_mode = rng.random() < 0.5
+            tag += f" m{m} n{n} orth{int(orth_mode)}{mut}"
+            cfg = CQRRTConfig(
+                sketch=rng.choice(list(SketchKind)),
+                d_factor=rng.choice([1.25, 2.0]),
+                orthogonalization=orth_mode)
+            if orth_mode:
+                Q, R, rank, fail, _ = cqrrt(A, cfg, st)
+                # contract: FULL orthonormal Q even on mutated inputs
+                orth_err = float(jnp.linalg.norm(
+                    jnp.matmul(Q.T, Q, precision=hp)
+                    - jnp.eye(n, dtype=Q.dtype)))
+                if not (bool(fail) or orth_err < 1e-8 * np.sqrt(n)):
+                    fails += 1
+                    print(f"FAIL {tag}: orth={orth_err:.3e}", flush=True)
+            else:
+                Q, R, fail, _ = cqrrt(A, cfg, st)
+                res = float(jnp.linalg.norm(
+                    jnp.matmul(Q, R, precision=hp) - A)
+                    / max(float(jnp.linalg.norm(A)), 1e-300))
+                if not (bool(fail) or res < 1e-9):
+                    fails += 1
+                    print(f"FAIL {tag}: res={res:.3e}", flush=True)
         elif kind == "spls":
             from randlapack_tpu.drivers import SPLSConfig, spls
             from randlapack_tpu.comps import PCGSaddleConfig
