@@ -51,8 +51,44 @@ def timed(fn, *args, reps=3):
     return out, best
 
 
+def _tpu_preflight(timeout_s=240):
+    """Probe the chip in a SUBPROCESS with a hard timeout: when the axon
+    relay is dead, jax.devices() hangs instead of raising (measured r4),
+    so an in-process probe would wedge the whole bench run. Returns
+    (ok, message)."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((128,128), jnp.float32);"
+            "print('SUM', float(jnp.sum(x @ x)))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+        if r.returncode == 0 and "SUM" in r.stdout:
+            return True, "ok"
+        return False, (r.stderr.strip().splitlines() or ["rc!=0"])[-1][:300]
+    except subprocess.TimeoutExpired:
+        return False, f"probe hung >{timeout_s}s (axon relay down)"
+
+
 def main():
     t_start = time.time()
+    ok, why = _tpu_preflight()
+    if not ok:
+        # the chip is unreachable (round-3 failure mode: the relay
+        # process died and every device op hangs). Emit an HONEST rc=0
+        # artifact naming the infrastructure failure instead of crashing
+        # with no JSON at all (BENCH_r03.json was rc=1/empty).
+        log(f"[bench] TPU unreachable: {why}")
+        print(json.dumps({
+            "metric": "bqrrp_factored_8192_gflops", "value": 0,
+            "unit": "GFLOP/s", "vs_baseline": 0,
+            "error": f"tpu_unreachable: {why}",
+            "last_measured": {"round": 3, "seconds": 0.196,
+                              "gflops": 3710,
+                              "note": "BENCH_details.json r3, "
+                                      "driver-capture failed rc=1"}}))
+        return
     from randlapack_tpu import RNGState
     from randlapack_tpu.gen import fast_decay_matrix
     from randlapack_tpu.comps import QBConfig, PCGSaddleConfig

@@ -5,10 +5,12 @@ QRCP + the x64-on-TPU pivoted path).
 Same-process min-of-N; compares the Pallas panel kernels against the jnp
 fori_loop route when both fit the time budget.
 
-Usage: python benchmarks/hqrrp_speed.py [n] [b] [reps] [route] [defer]
+Usage: python benchmarks/hqrrp_speed.py [n] [b] [reps] [route] [defer] [tp]
     route in {auto, never, both, combos, sk, pan}; default auto.
     "combos" sweeps all four (sketch-kernel, panel-kernel) on/off pairs;
     "sk"/"pan" enable just the sketch / just the panel kernel.
+    tp in {highest, default}: trailing-update GEMM precision (default =
+    bf16_3x on TPU — the r4 mixed-precision lever).
 """
 import sys
 import time
@@ -33,13 +35,13 @@ _ROUTES = {  # name -> (pallas_qrcp, pallas_panel)
 }
 
 
-def run(n, b, reps, route, defer=1):
+def run(n, b, reps, route, defer=1, tp="highest"):
     hp = jax.lax.Precision.HIGHEST
     A, st = fast_decay_matrix(n, n, RNGState(0), dtype=jnp.float32)
     nrmA = float(jnp.linalg.norm(A))
     sk, pan = _ROUTES[route]
     cfg = HQRRPConfig(block_size=b, pallas_qrcp=sk, pallas_panel=pan,
-                      update_defer=defer)
+                      update_defer=defer, trailing_precision=tp)
     t0 = time.perf_counter()
     Q, R, J, rank, fail, _ = hqrrp(A, cfg, st)
     _sync(R)
@@ -65,7 +67,7 @@ def run(n, b, reps, route, defer=1):
         packed, taus, _, _, _ = hqrrp_lapack_format(A, cfg, st)
         _sync(packed)
         best_p = min(best_p, time.perf_counter() - t0)
-    print(f"hqrrp n={n} b={b} d{defer} route={route:5s}: {best:8.3f}s  "
+    print(f"hqrrp n={n} b={b} d{defer} tp={tp[:4]} route={route:5s}: {best:8.3f}s  "
           f"{4/3*n**3/best/1e9:6.0f} GF/s  res {res:.2e}  orth {orth:.2e}  "
           f"fail={bool(fail)}  packed {best_p:.3f}s "
           f"({4/3*n**3/best_p/1e9:.0f} GF/s)  (compile {t_c:.0f}s)",
@@ -79,10 +81,11 @@ def main():
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     route = sys.argv[4] if len(sys.argv) > 4 else "auto"
     defer = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    tp = sys.argv[6] if len(sys.argv) > 6 else "highest"
     routes = {"both": ["auto", "never"],
               "combos": ["never", "sk", "pan", "auto"]}.get(route, [route])
     for r in routes:
-        run(n, b, reps, r, defer)
+        run(n, b, reps, r, defer, tp)
 
 
 if __name__ == "__main__":

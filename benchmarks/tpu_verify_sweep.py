@@ -127,6 +127,50 @@ def main():
     finally:
         jax.config.update("jax_enable_x64", False)
 
+    # --- round-4 features (CPU-verified; first on-chip exercise) --------
+    # condition-aware CholQR auto-ladder: eps-orth at kappa=1e6 f32
+    from randlapack_tpu.ops import cholqr_auto
+    from randlapack_tpu.gen import MatGenInfo, MatType, mat_gen
+    Ac, _ = mat_gen(MatGenInfo(4096, 256, MatType.exponential,
+                               cond_num=1e6), RNGState(11),
+                    dtype=jnp.float32)
+    Qc, Rc, fc = cholqr_auto(Ac)
+    orth_c = float(jnp.linalg.norm(
+        jnp.matmul(Qc.T, Qc, precision=hp) - jnp.eye(256,
+                                                     dtype=jnp.float32)))
+    check("cholqr_auto kappa=1e6 f32", (not bool(fc)) and orth_c < 1e-3,
+          f"orth {orth_c:.2e}")
+
+    # mixed-precision trailing (bf16_3x on this chip): residual must stay
+    # within f32 reference tolerance (CPU-emulated envelope ~5.5e-6)
+    facmp, _ = bqrrp_factored(
+        A, BQRRPConfig(block_size=256, pivot_candidates=4,
+                       trailing_precision="default"), RNGState(12))
+    qr_invariants("bqrrp_factored 2048 trailing=default", A,
+                  bqrrp_q(facmp), facmp.R, facmp.J, facmp.fail,
+                  5e-5, orth_tol)
+
+    # ABRIK early termination on a fast-decay spectrum
+    Afd, _ = fast_decay_matrix(1024, 768, RNGState(13),
+                               dtype=jnp.float32, decay=30.0)
+    _, Sfd, _, info_fd, _ = abrik(Afd, 16,
+                                  ABRIKConfig(block_size=16,
+                                              max_iters=12),
+                                  RNGState(14), tol=1e-5)
+    it_fd = int(info_fd["num_krylov_iters"])
+    check("abrik early stop (decay=30)",
+          it_fd < 12 and bool(jnp.all(jnp.isfinite(Sfd))),
+          f"iters {it_fd}/12")
+
+    # one-sided Jacobi SVD route (values + triplet consistency)
+    from randlapack_tpu.ops.svd import svd_econ
+    Bj = Afd[:256, :256]
+    Uj, sj, Vtj = svd_econ(Bj, method="jacobi")
+    rj = float(jnp.linalg.norm(
+        jnp.matmul(Bj, Vtj.T, precision=hp) - Uj * sj[None, :])
+        / jnp.maximum(float(sj[0]), 1e-30))
+    check("svd jacobi 256 triplets", rj < 1e-4, f"res {rj:.2e}")
+
     # r3 OPEN worker-fault regression (LAST in the quick tier on purpose:
     # if these wedge the chip, everything above has already reported).
     # Default config (full-width LU), the two shapes that killed the

@@ -82,6 +82,18 @@ class HQRRPConfig:
                                    # over (set by dist_hqrrp): A and the
                                    # sketch operator G stay sharded, the
                                    # small Y/T/R stay replicated
+    trailing_precision: str = "highest"
+                                  # precision of the trailing-update GEMMs
+                                  # (Wk = VᵀA and the A −= V·U update, the
+                                  # FLOP bulk at b=128): "highest" = f32
+                                  # MXU; "default" = XLA default (bf16_3x
+                                  # on TPU, 1.77x GEMM rate);
+                                  # "bf16_3x_emul" = explicit emulation
+                                  # for CPU quality studies. Panel math,
+                                  # pivots, and the exact sketch downdate
+                                  # always stay at driver precision (same
+                                  # measured-safe split as
+                                  # bqrrp.BQRRPConfig.trailing_precision).
     update_defer: int = 1         # aggregate this many consecutive blocks'
                                   # compact-WY trailing updates and apply
                                   # them as ONE k = defer·b GEMM (the same
@@ -167,8 +179,9 @@ def _hqrrp_blocks(A, Y, G, order, taus_g, retired, fail, c0: int,
             # catch-up (retired columns already hold their exact final
             # values, so they are excluded by the end-of-group mask)
             live_end = 1.0 - retired
-            A = A - jnp.matmul(Vg, Ug * live_end[None, :],
-                               precision=precision)
+            from .bqrrp import _tp_matmul as _tpm
+            A = A - _tpm(Vg, Ug * live_end[None, :],
+                         cfg.trailing_precision, precision)
             G = G - jnp.matmul(Hg, Vg.T, precision=precision)
             return (A, Y, G, order, taus_g, retired, fail)
         return group
@@ -227,9 +240,11 @@ def _hqrrp_subblock_deferred(carry, c, bsz, j: int, Vg, Ug, Hg,
     A = A.at[:, chosen].set(W)
 
     # 3. deferred trailing update: U = Tᵀ Vᵀ A_true on the live columns
+    from .bqrrp import _tp_matmul
     T, Vz = wy_T(V, taus, precision)
     live2 = live.at[chosen].set(0.0)
-    Wk = jnp.matmul(Vz.T, A * live2[None, :], precision=precision)
+    Wk = _tp_matmul(Vz.T, A * live2[None, :], cfg.trailing_precision,
+                    precision)
     if j > 0:
         Wk = Wk - jnp.matmul(
             jnp.matmul(Vz.T, Vg, precision=precision),
@@ -323,10 +338,12 @@ def _hqrrp_block_step(carry, c, bsz, cfg: HQRRPConfig, precision,
         if timer is not None:
             device_sync(T)
     with _phase("updating_A"):
+        from .bqrrp import _tp_matmul
         live2 = live.at[chosen].set(0.0)
-        Wk = jnp.matmul(Vz.T, A * live2[None, :], precision=precision)
-        Upd = jnp.matmul(Vz, jnp.matmul(T.T, Wk, precision=precision),
-                         precision=precision)
+        Wk = _tp_matmul(Vz.T, A * live2[None, :],
+                        cfg.trailing_precision, precision)
+        Upd = _tp_matmul(Vz, jnp.matmul(T.T, Wk, precision=precision),
+                         cfg.trailing_precision, precision)
         A = A - Upd * live2[None, :]
         if timer is not None:
             device_sync(A)

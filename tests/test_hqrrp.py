@@ -288,3 +288,25 @@ class TestUpdateDefer:
                     jnp.matmul(Q.T, Q, precision=hp) - jnp.eye(K)))
                 assert res < 1e-13 and orth < 1e-12, (pq, defer, res, orth)
                 assert not bool(fail)
+
+
+class TestHQRRPTrailingPrecision:
+    def test_emul_quality_envelope(self):
+        # bf16_3x-emulated trailing updates: residual stays within the f32
+        # reference tolerance (measured 6.3e-7 -> 5.6e-6 at 1024, flat in
+        # defer), orthogonality untouched
+        import jax
+        from randlapack_tpu.gen import fast_decay_matrix
+        hp = jax.lax.Precision.HIGHEST
+        A, _ = fast_decay_matrix(512, 512, RNGState(21),
+                                 dtype=jnp.float32)
+        for defer in (1, 4):
+            cfg = HQRRPConfig(block_size=64, update_defer=defer,
+                              trailing_precision="bf16_3x_emul")
+            Q, R, J, rank, fail, _ = hqrrp(A, cfg, RNGState(22))
+            res = float(jnp.linalg.norm(
+                jnp.matmul(Q, R, precision=hp) - jnp.take(A, J, axis=1))
+                / jnp.linalg.norm(A))
+            orth = float(util.orthogonality_check(Q))
+            assert res < 3e-5 and orth < 1e-3, (defer, res, orth)
+            assert not bool(fail)

@@ -285,6 +285,33 @@ class TestSVDEnvelope:
         # (measured <= 1.1e-3; 3x margin)
         assert float(res.max()) < 3.5e-3, f"triplet residual {res.max():.2e}"
 
+    @pytest.mark.parametrize("p,q", [(256, 256), (128, 1024), (301, 77)])
+    def test_jacobi_route_f32(self, p, q):
+        # one-sided Jacobi: values to the input-rounding bound, eps-level
+        # triplet residuals at any depth (docs/svd_envelope.md r4 table);
+        # odd widths exercise the pad column
+        from randlapack_tpu.ops.svd import svd_econ
+        B, s_true = self._factor(p, q, 1e6, seed=11 * p + q)
+        U, s, Vt = svd_econ(B, method="jacobi")
+        s_ = np.asarray(s)[:len(s_true)]
+        rel = np.abs(s_ - s_true) / s_true
+        ratio = s_true / s_true[0]
+        # values: 2e-4-accurate down to 3e-3*sigma1 (measured <= 3.2e-5
+        # at sweeps=20 across these shapes; margin for platform noise —
+        # deeper than gram_eigh's 1e-3@1e-2 contract either way)
+        assert np.all(rel[ratio >= 3e-3] < 2e-4), \
+            f"{rel[ratio >= 3e-3].max():.2e}"
+        # triplet residuals eps-level everywhere (the jacobi advantage)
+        Bf = np.asarray(B, np.float64)
+        Uf, Vtf = np.asarray(U, np.float64), np.asarray(Vt, np.float64)
+        r = np.linalg.norm(Bf @ Vtf.T - Uf * s_, axis=0) / s_true[0]
+        assert float(r.max()) < 1e-5, f"triplet res {r.max():.2e}"
+        # leading left vectors orthonormal
+        k = int((ratio >= 1e-2).sum())
+        orth = np.linalg.norm(Uf[:, :k].T @ Uf[:, :k] - np.eye(k))
+        # 20 sweeps of f32 rotation roundoff accumulate ~1e-4
+        assert orth < 3e-4, orth
+
     def test_flat_spectrum_accurate_throughout(self):
         # rule 5: step spectra (flat head + cliff) stay accurate at depth
         # — FULL-RANK factor (a tail cluster sitting just above a null
