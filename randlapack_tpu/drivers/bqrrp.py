@@ -297,6 +297,19 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
     # stay in place, a `retired` mask excludes them, and ONE permutation at
     # the stage end restores the positional invariant the next (narrower)
     # stage window relies on.
+    #
+    # NO dynamic-index 2D column scatters (`X.at[:, chosen].set/add`)
+    # anywhere in the block loop: this backend's TPU runtime kills the
+    # worker process on some block-width column scatters (r4 minimal
+    # repro: zeros((2048,2048)).at[:, arange(512)].add(zeros((2048,512)))
+    # — deterministic per program but allocator-context-dependent, so ANY
+    # such scatter is a latent device kill). The chosen columns' R
+    # contributions (BCGS2 proj + R11) are instead STACKED by block slot
+    # via dynamic_update_slice into `patch` (selection-order layout) and
+    # merged with ONE static-slice add after the stage-end permutation —
+    # bitwise the same values, zero scatters, zero extra FLOPs. The
+    # trailing matrices keep their stale chosen columns (T is masked to
+    # zero there), which is invisible: every later read masks by `live`.
     def block(i, carry, j=None, Qg=None, Tg=None):
         """One panel block. With ``j`` given (update-deferred group slot,
         static) the trailing A update is appended to the (Qg, Tg)
@@ -306,7 +319,7 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
         group-end A −= Qg·Tg reproduces the per-block sequence as the
         same GEMM sum reordered."""
         deferred = j is not None
-        A_work, A_sk, Qp, R, order, retired, fail = carry
+        A_work, A_sk, Qp, R, patch, order, retired, fail = carry
         c = i * b              # local block offset; global = g0 + c
         if cfg.shard_axis is not None:
             from jax.sharding import PartitionSpec as _P
@@ -329,12 +342,13 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
                 Qg, jnp.take(Tg, chosen, axis=1), precision=precision)
         if cfg.block_reorth:
             # BCGS2 against the filled basis prefix; correction folded
-            # into R's earlier rows at the chosen columns.
+            # into R's earlier rows at the chosen columns — deferred into
+            # `patch` slot i (scatter-free; merged post-permutation).
             proj = jnp.matmul(Qp.T, panel, precision=precision)  # (q_hi, b)
             panel = panel - jnp.matmul(Qp, proj, precision=precision)
             projK = jnp.zeros((R.shape[0], b), dtype)
             projK = jax.lax.dynamic_update_slice(projK, proj, (0, 0))
-            R = R.at[:, chosen].add(projK)
+            patch = jax.lax.dynamic_update_slice(patch, projK, (0, c))
         if cfg.qr_tall == QRTall.cholqr:
             _, R_sk = qr_econ(A_sk_panel)
             R_sk = _safe_triu_diag(R_sk, dtype)
@@ -351,8 +365,13 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
             Q_panel, R11 = qr_econ(panel)
             failp = jnp.asarray(False)
         R11 = jnp.triu(R11)
+        # R11 goes into `patch` slot i at its final row block (rows
+        # g0+c:g0+c+b are zero in projK, so this DUS overwrites zeros)
+        patch = jax.lax.dynamic_update_slice(patch, R11, (g0 + c, c))
 
         # -- trailing update over the (masked) window ---------------------
+        retired = retired.at[chosen].set(1.0)
+        live2 = 1.0 - retired
         T = jnp.matmul(Q_panel.T, A_work, precision=precision)   # (b, w)
         if deferred and j > 0:
             # T must read the TRUE trailing matrix: correct through the
@@ -360,8 +379,10 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
             T = T - jnp.matmul(
                 jnp.matmul(Q_panel.T, Qg, precision=precision), Tg,
                 precision=precision)
-        T = T * live[None, :]
-        T = T.at[:, chosen].set(R11)                    # exact panel block
+        # live2 zeroes the chosen columns too (their R values live in
+        # `patch`); the panel columns of A_work/A_sk keep stale data that
+        # every later read masks out
+        T = T * live2[None, :]
         if not deferred:
             # trailing A update at cfg.trailing_precision — T itself (the
             # R rows) always stays at the driver precision; only the
@@ -383,8 +404,7 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
         Qp = jax.lax.dynamic_update_slice(Qp, Q_panel, (0, g0 + c))
         R = jax.lax.dynamic_update_slice(R, T, (g0 + c, 0))
         order = jax.lax.dynamic_update_slice(order, chosen, (c,))
-        retired = retired.at[chosen].set(1.0)
-        carry = (A_work, A_sk, Qp, R, order, retired, fail | failp)
+        carry = (A_work, A_sk, Qp, R, patch, order, retired, fail | failp)
         if not deferred:
             return carry
         Qg = Q_panel if j == 0 else jnp.concatenate([Qg, Q_panel], axis=1)
@@ -393,7 +413,8 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
 
     order0 = jnp.zeros((w,), jnp.int32)
     retired0 = jnp.zeros((w,), dtype)
-    carry = (A_loc, A_sk_loc, Qp, R_loc, order0, retired0, fail)
+    patch0 = jnp.zeros((R_loc.shape[0], nblocks * b), dtype)
+    carry = (A_loc, A_sk_loc, Qp, R_loc, patch0, order0, retired0, fail)
     g = max(1, min(int(cfg.update_defer), nblocks))
     if cfg.shard_axis is not None:
         g = 1   # the sharded path keeps per-block psum'd updates
@@ -406,14 +427,14 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
                 Qg = Tg = None
                 for j in range(gsz):
                     Qg, Tg, carry = block(i0 + j, carry, j, Qg, Tg)
-                A_work, A_sk, Qp_, R, order, retired, fl = carry
+                A_work, A_sk, Qp_, R, patch_, order, retired, fl = carry
                 # ONE wide k = gsz·b trailing update (same GEMM sum as
                 # the per-block sequence, reordered) — at
                 # cfg.trailing_precision (see the eager branch)
                 A_work = A_work - _tp_matmul(Qg, Tg,
                                              cfg.trailing_precision,
                                              precision)
-                return (A_work, A_sk, Qp_, R, order, retired, fl)
+                return (A_work, A_sk, Qp_, R, patch_, order, retired, fl)
             return group
 
         ngroups, grem = divmod(nblocks, g)
@@ -421,7 +442,7 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
             carry = jax.lax.fori_loop(0, ngroups, make_group(g, 0), carry)
         if grem:
             carry = make_group(grem, ngroups * g)(0, carry)
-    A_loc, A_sk_loc, Qp, R_loc, order, retired, fail = carry
+    A_loc, A_sk_loc, Qp, R_loc, patch, order, retired, fail = carry
     Q = Q.at[:, :q_hi].set(Qp)
 
     # stage-end permutation: pivots (in selection order) move to the front,
@@ -435,6 +456,9 @@ def _stage(A_loc, A_sk_loc, Q, R_loc, J_loc, fail, cfg: BQRRPConfig,
     A_loc = jnp.take(A_loc, perm, axis=1)
     A_sk_loc = jnp.take(A_sk_loc, perm, axis=1)
     R_loc = jnp.take(R_loc, perm, axis=1)
+    # merge the deferred chosen-column R values (BCGS2 proj + R11, stacked
+    # in selection order = post-permutation layout) as one static-slice add
+    R_loc = R_loc.at[:, :k_sel].add(patch)
     J_loc = jnp.take(J_loc, perm)
     return A_loc, A_sk_loc, Q, R_loc, J_loc, fail
 
@@ -641,7 +665,7 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
         """Block ``i`` (traced stage-local index) in group slot ``j``
         (static). Appends this block's (V, U = Tᵀ·W) to the group
         aggregates instead of applying the rank-b update."""
-        A, Y, Vall, Ts, order, retired, fail = carry
+        A, Y, Vall, Ts, Fstk, order, retired, fail = carry
         c = c0 + i * b
         live = 1.0 - retired
         if cfg.shard_axis is not None:
@@ -729,8 +753,9 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
         # pass — substitute identity columns so outputs stay finite with
         # `fail` raised (repo convention: failure is a flag, never NaN)
         nanp = jnp.any(jnp.isnan(Q_panel)) | jnp.any(jnp.isnan(R11))
-        E_pad = jnp.zeros((m, b), dtype).at[
-            c + jnp.arange(b), jnp.arange(b)].set(1.0)
+        # compare-based identity pad (no scatter: this backend's TPU
+        # runtime can kill the worker on dynamic-index scatters)
+        E_pad = (rows[:, None] == c + jnp.arange(b)[None, :]).astype(dtype)
         Q_panel = jnp.where(nanp, E_pad, Q_panel)
         R11 = jnp.where(nanp, 0.0, R11)
         fail = fail | nanp
@@ -739,12 +764,17 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
         # -- LU-free Householder reconstruction -------------------------
         V, T, s = _wy_reconstruct(Q_panel, c, precision)
 
-        # -- write the chosen columns: R12 rows (< c) kept, signed R11 --
+        # -- the chosen columns' final values: R12 rows (< c) kept, signed
+        # R11 — STACKED into the selection-order buffer Fstk (merged into
+        # A once, post-permutation); A keeps its stale panel columns,
+        # which every later read masks out via live2/retired (no
+        # dynamic-index column scatter — see _stage's layout note)
         Rsigned = s[:, None] * R11
         Rpad = jnp.zeros((m, b), dtype)
         Rpad = jax.lax.dynamic_update_slice(Rpad, Rsigned, (c, 0))
-        A = A.at[:, chosen].set(jnp.where(rows[:, None] < c, panel, 0.0)
-                                + Rpad)
+        Fstk = jax.lax.dynamic_update_slice(
+            Fstk, jnp.where(rows[:, None] < c, panel, 0.0) + Rpad,
+            (0, c - c0))
         live2 = live.at[chosen].set(0.0)
 
         # -- W = Vᵀ·(A_true ⊙ live2); U = Tᵀ·W (update stays deferred) --
@@ -784,7 +814,7 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
         retired = retired.at[chosen].set(1.0)
         Vg = V if j == 0 else jnp.concatenate([Vg, V], axis=1)
         Ug = U if j == 0 else jnp.concatenate([Ug, U], axis=0)
-        return Vg, Ug, (A, Y, Vall, Ts, order, retired, fail)
+        return Vg, Ug, (A, Y, Vall, Ts, Fstk, order, retired, fail)
 
     def make_group(g, off):
         """A fori body processing g consecutive blocks (slots unrolled,
@@ -797,21 +827,22 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
             Vg = Ug = None
             for j in range(g):
                 Vg, Ug, carry = subblock(i0 + j, j, Vg, Ug, carry)
-            A, Y, Vall, Ts, order, retired, fail = carry
+            A, Y, Vall, Ts, Fstk, order, retired, fail = carry
             live_end = 1.0 - retired
             A = a_minus_vz_masked_mixed(A, Vg, Ug, live_end,
                                         cfg.trailing_precision,
                                         precision, _pallas)
-            return (A, Y, Vall, Ts, order, retired, fail)
+            return (A, Y, Vall, Ts, Fstk, order, retired, fail)
         return group
 
     g = max(1, min(int(cfg.update_defer), nblocks))
     ngroups, grem = divmod(nblocks, g)
-    carry = (A, Y, Vall, Ts, order, retired, fail)
+    Fstk0 = jnp.zeros((m, nblocks * b), dtype)
+    carry = (A, Y, Vall, Ts, Fstk0, order, retired, fail)
     carry = jax.lax.fori_loop(0, ngroups, make_group(g, 0), carry)
     if grem:
         carry = make_group(grem, ngroups * g)(0, carry)
-    A, Y, Vall, Ts, order, retired, fail = carry
+    A, Y, Vall, Ts, Fstk, order, retired, fail = carry
 
     # stage-end permutation: pivots to the window front in selection
     # order; the rest keep relative order for the next (narrower) stage
@@ -822,6 +853,9 @@ def _wy_stage(A, Y, Vall, Ts, J_loc, fail, cfg: BQRRPConfig,
     key_ = jnp.where(retired > 0, pos, k_sel + cols)
     perm = jnp.argsort(key_)
     A = jnp.take(A, perm, axis=1)
+    # overwrite the window front with the stacked final pivot columns
+    # (selection order = post-permutation layout; one static-slice set)
+    A = A.at[:, :k_sel].set(Fstk)
     Y = jnp.take(Y, perm, axis=1)
     J_loc = jnp.take(J_loc, perm)
     return A, Y, Vall, Ts, J_loc, fail

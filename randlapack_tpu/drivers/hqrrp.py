@@ -127,8 +127,9 @@ def _cholqr_panel(panel, row0, precision):
     # finite): substitute identity columns at the panel offset so the
     # reconstruction and downstream WY algebra remain well-defined
     nanp = jnp.any(~jnp.isfinite(Qp)) | jnp.any(~jnp.isfinite(R_chol))
-    E_pad = jnp.zeros((m, b), dtype).at[
-        row0 + cols, cols].set(1.0)
+    # compare-based identity pad (no dynamic-index scatter: this
+    # backend's TPU runtime can kill the worker on block-width scatters)
+    E_pad = (rows[:, None] == row0 + cols[None, :]).astype(dtype)
     Qp = jnp.where(nanp, E_pad, Qp)
     R_chol = jnp.where(nanp, 0.0, R_chol)
     fail = fail | nanp
@@ -146,7 +147,7 @@ def _cholqr_panel(panel, row0, precision):
 
 @partial(jax.jit, static_argnames=("c0", "nblocks", "bsz", "cfg",
                                    "precision"))
-def _hqrrp_blocks(A, Y, G, order, taus_g, retired, fail, c0: int,
+def _hqrrp_blocks(A, Y, G, Fstk, order, taus_g, retired, fail, c0: int,
                   nblocks: int, bsz: int, cfg: HQRRPConfig, precision):
     """Process ``nblocks`` blocks of ``bsz`` columns starting at global
     rank position ``c0`` (one jitted fori_loop). With
@@ -159,7 +160,7 @@ def _hqrrp_blocks(A, Y, G, order, taus_g, retired, fail, c0: int,
     if cfg.shard_axis is not None:
         g = 1   # the sharded path keeps the per-block psum'd updates
 
-    carry = (A, Y, G, order, taus_g, retired, fail)
+    carry = (A, Y, G, Fstk, order, taus_g, retired, fail)
     if g == 1:
         def block(ib, carry):
             return _hqrrp_block_step(carry, c0 + ib * bsz, bsz, cfg,
@@ -174,16 +175,16 @@ def _hqrrp_blocks(A, Y, G, order, taus_g, retired, fail, c0: int,
                 Vg, Ug, Hg, carry = _hqrrp_subblock_deferred(
                     carry, c_first + j * bsz, bsz, j, Vg, Ug, Hg, cfg,
                     precision)
-            A, Y, G, order, taus_g, retired, fail = carry
+            A, Y, G, Fstk, order, taus_g, retired, fail = carry
             # ONE wide k = gsz·b trailing update + the sketch-operator
-            # catch-up (retired columns already hold their exact final
-            # values, so they are excluded by the end-of-group mask)
+            # catch-up (retired columns hold stale data that every read
+            # masks out — their final packed values live in Fstk)
             live_end = 1.0 - retired
             from .bqrrp import _tp_matmul as _tpm
             A = A - _tpm(Vg, Ug * live_end[None, :],
                          cfg.trailing_precision, precision)
             G = G - jnp.matmul(Hg, Vg.T, precision=precision)
-            return (A, Y, G, order, taus_g, retired, fail)
+            return (A, Y, G, Fstk, order, taus_g, retired, fail)
         return group
 
     ngroups, grem = divmod(nblocks, g)
@@ -213,7 +214,7 @@ def _hqrrp_subblock_deferred(carry, c, bsz, j: int, Vg, Ug, Hg,
     (Vg, Ug, Hg) with thin corrections — the wide k = defer·b GEMMs are
     applied once per group.
     """
-    A, Y, G, order, taus_g, retired, fail = carry
+    A, Y, G, Fstk, order, taus_g, retired, fail = carry
     m, n = A.shape
     d = Y.shape[0]
     live = 1.0 - retired
@@ -237,7 +238,10 @@ def _hqrrp_subblock_deferred(carry, c, bsz, j: int, Vg, Ug, Hg,
             precision=precision, use_pallas=cfg.pallas_panel)
         failp = jnp.asarray(False)
     chosen = jnp.take(chosen, sigma)
-    A = A.at[:, chosen].set(W)
+    # packed GEQP3 column (R above, reflector tail below) goes into the
+    # selection-order stack; A keeps its stale (masked-out) column — no
+    # dynamic-index column scatter (worker-kill class on this backend)
+    Fstk = jax.lax.dynamic_update_slice(Fstk, W, (0, c))
 
     # 3. deferred trailing update: U = Tᵀ Vᵀ A_true on the live columns
     from .bqrrp import _tp_matmul
@@ -278,7 +282,8 @@ def _hqrrp_subblock_deferred(carry, c, bsz, j: int, Vg, Ug, Hg,
     Vg = Vz if j == 0 else jnp.concatenate([Vg, Vz], axis=1)
     Ug = U if j == 0 else jnp.concatenate([Ug, U], axis=0)
     Hg = H if j == 0 else jnp.concatenate([Hg, H], axis=1)
-    return Vg, Ug, Hg, (A, Y, G, order, taus_g, retired, fail | failp)
+    return Vg, Ug, Hg, (A, Y, G, Fstk, order, taus_g, retired,
+                        fail | failp)
 
 
 def _hqrrp_block_step(carry, c, bsz, cfg: HQRRPConfig, precision,
@@ -293,7 +298,7 @@ def _hqrrp_block_step(carry, c, bsz, cfg: HQRRPConfig, precision,
         return timer.phase(name) if timer is not None else (
             contextlib.nullcontext())
 
-    A, Y, G, order, taus_g, retired, fail = carry
+    A, Y, G, Fstk, order, taus_g, retired, fail = carry
     m, n = A.shape
     d = Y.shape[0]
     live = 1.0 - retired
@@ -326,7 +331,9 @@ def _hqrrp_block_step(carry, c, bsz, cfg: HQRRPConfig, precision,
                 precision=precision, use_pallas=_pp)
             failp = jnp.asarray(False)
         chosen = jnp.take(chosen, sigma)
-        A = A.at[:, chosen].set(W)
+        # selection-order stack, merged post-permutation (no dynamic-
+        # index column scatter — worker-kill class on this backend)
+        Fstk = jax.lax.dynamic_update_slice(Fstk, W, (0, c))
         if timer is not None:
             device_sync(W)
 
@@ -369,7 +376,7 @@ def _hqrrp_block_step(carry, c, bsz, cfg: HQRRPConfig, precision,
         order = jax.lax.dynamic_update_slice(order, chosen, (c,))
         taus_g = jax.lax.dynamic_update_slice(taus_g, taus, (c,))
         retired = retired.at[chosen].set(1.0)
-    return A, Y, G, order, taus_g, retired, fail | failp
+    return A, Y, G, Fstk, order, taus_g, retired, fail | failp
 
 
 def _hqrrp_core(A: jax.Array, cfg: HQRRPConfig, state: RNGState,
@@ -404,9 +411,12 @@ def _hqrrp_core(A: jax.Array, cfg: HQRRPConfig, state: RNGState,
     taus_g = jnp.zeros((K,), dtype)
     retired = jnp.zeros((n,), dtype)
     fail = jnp.asarray(False)
+    # packed pivot columns in selection order (= post-permutation layout);
+    # merged as ONE static-slice set in the epilogue
+    Fstk = jnp.zeros((m, K), dtype)
 
     with _phase("blocks"):
-        carry = (A, Y, G, order, taus_g, retired, fail)
+        carry = (A, Y, G, Fstk, order, taus_g, retired, fail)
         if timing and cfg.update_defer > 1:
             # the timed route is the eager per-block step — a deferred
             # config would measure a different execution structure than
@@ -435,7 +445,7 @@ def _hqrrp_core(A: jax.Array, cfg: HQRRPConfig, state: RNGState,
             if r:
                 carry = _hqrrp_blocks(*carry, nb_full * b, 1, r, cfg,
                                       precision)
-        A, Y, G, order, taus_g, retired, fail = carry
+        A, Y, G, Fstk, order, taus_g, retired, fail = carry
         if timing:
             device_sync(A)
 
@@ -447,6 +457,8 @@ def _hqrrp_core(A: jax.Array, cfg: HQRRPConfig, state: RNGState,
         key_ = jnp.where(retired > 0, pos, K + jnp.arange(n))
         perm = jnp.argsort(key_)
         A_perm = jnp.take(A, perm, axis=1)
+        # the front K columns are the stacked packed pivot columns
+        A_perm = A_perm.at[:, :K].set(Fstk)
         J = perm.astype(jnp.int32)
         if timing:
             device_sync(A_perm)
