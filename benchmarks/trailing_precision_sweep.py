@@ -54,7 +54,7 @@ def main():
     qr_flops = 4.0 / 3.0 * n ** 3
 
     grid = []
-    for tp in ("highest", "default"):
+    for tp in ("highest", "high", "default"):
         for defer in (1, 2, 4):
             grid.append((tp, defer))
 

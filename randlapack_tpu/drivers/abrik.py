@@ -141,18 +141,27 @@ def abrik_factor(A, state: RNGState, cfg: ABRIKConfig,
     # the final band SVD). Triggers when q·b exceeds the numerical rank.
     eps = jnp.finfo(dtype).eps
     tol_bd = 100.0 * eps * jnp.linalg.norm(R1)
-    # Frobenius capture threshold (reference early termination): with
-    # tol=0 the test is disabled (thresh = +inf keeps lazy semantics —
-    # ‖B‖_F can only approach ‖A‖_F from below)
+    # Frobenius capture threshold (reference early termination,
+    # rl_abrik.hh:454,595: stop once ‖B‖_F ≥ √(1−tol²)·‖A‖_F). Tested in
+    # GAP form — ‖A‖² − ‖B‖² ≤ eff_tol²·‖A‖² — because the direct form
+    # rounds to cap ≥ ‖A‖_F for any tol < √ulp(1) (f32: tol=1e-5 gives
+    # √(1−1e-10) = 1.0 exactly, so the chip never certifiably crossed it
+    # and easy spectra ran all max_iters). The gap itself is only
+    # resolvable down to a few ulps of ‖A‖², so eff_tol² gets an eps
+    # floor: requesting tol < √(32·eps) means "stop when the capture is
+    # roundoff-complete for this dtype". tol=0 disables (thresh = −inf;
+    # the gap can round slightly negative, so −inf, not 0).
     if tol and tol > 0.0:
         if hasattr(A, "fro_nrm"):
             norm_A = A.fro_nrm()
         else:
             norm_A = jnp.linalg.norm(A)
-        cap_thresh = jnp.sqrt(jnp.maximum(
-            1.0 - jnp.asarray(tol, dtype) ** 2, 0.0)) * norm_A
+        norm_A2 = norm_A * norm_A
+        eff_tol2 = jnp.maximum(jnp.asarray(tol, dtype) ** 2, 32.0 * eps)
+        gap_thresh = eff_tol2 * norm_A2
     else:
-        cap_thresh = jnp.asarray(jnp.inf, dtype)
+        norm_A2 = jnp.asarray(0.0, dtype)
+        gap_thresh = jnp.asarray(-jnp.inf, dtype)
 
     def reorth(W, Basis):
         for _ in range(cfg.reorth_passes):
@@ -215,8 +224,8 @@ def abrik_factor(A, state: RNGState, cfg: ABRIKConfig,
         B = jax.lax.dynamic_update_slice(B, Rn * keep, (c, c))
         cap_j = jnp.linalg.norm(B)
         capture = capture.at[j].set(cap_j)
-        # Frobenius capture early stop (no-op when tol=0: thresh = inf)
-        stopped = stopped | (cap_j >= cap_thresh)
+        # Frobenius capture early stop (no-op when tol=0: thresh = -inf)
+        stopped = stopped | (norm_A2 - cap_j * cap_j <= gap_thresh)
         return U, V, B, capture, stopped, j + 1
 
     # platform default int (int64 under x64 tests, int32 on chip) so the

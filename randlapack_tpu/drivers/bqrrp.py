@@ -213,12 +213,15 @@ def _fix_pivots(chosen, retired):
 def _tp_matmul(X, Y, trailing_precision, precision):
     """X·Y at the configured trailing precision (see
     BQRRPConfig.trailing_precision): "highest" = driver precision,
-    "default" = XLA default (bf16_3x on TPU), "bf16_3x_emul" = explicit
-    emulation for CPU quality studies."""
+    "high" = lax.Precision.HIGH (bf16_6x on TPU), "default" = XLA
+    default (bf16_3x on TPU), "bf16_3x_emul" = explicit emulation for
+    CPU quality studies."""
     if trailing_precision == "highest":
         return jnp.matmul(X, Y, precision=precision)
     if trailing_precision == "default":
         return jnp.matmul(X, Y, precision=None)
+    if trailing_precision == "high":
+        return jnp.matmul(X, Y, precision=jax.lax.Precision.HIGH)
     from ..ops.pallas_wy import bf16_3x_matmul
     return bf16_3x_matmul(X, Y)
 

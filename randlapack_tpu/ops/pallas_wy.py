@@ -65,6 +65,9 @@ def masked_vt_a_mixed(V, A, mask, trailing_precision, precision=HP,
         return masked_vt_a_routed(V, A, mask, precision, use_pallas)
     if trailing_precision == "default":
         return jnp.matmul(V.T, A * mask[None, :], precision=None)
+    if trailing_precision == "high":
+        return jnp.matmul(V.T, A * mask[None, :],
+                          precision=jax.lax.Precision.HIGH)
     return bf16_3x_matmul(V.T, A * mask[None, :])
 
 
@@ -77,6 +80,10 @@ def a_minus_vz_masked_mixed(A, V, Z, mask, trailing_precision,
                                         use_pallas)
     if trailing_precision == "default":
         return A - jnp.matmul(V, Z, precision=None) * mask[None, :]
+    if trailing_precision == "high":
+        return A - jnp.matmul(V, Z,
+                              precision=jax.lax.Precision.HIGH) \
+            * mask[None, :]
     return A - bf16_3x_matmul(V, Z) * mask[None, :]
 
 
