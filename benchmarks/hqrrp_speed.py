@@ -67,7 +67,7 @@ def run(n, b, reps, route, defer=1, tp="highest"):
         packed, taus, _, _, _ = hqrrp_lapack_format(A, cfg, st)
         _sync(packed)
         best_p = min(best_p, time.perf_counter() - t0)
-    print(f"hqrrp n={n} b={b} d{defer} tp={tp[:4]} route={route:5s}: {best:8.3f}s  "
+    print(f"hqrrp n={n} b={b} d{defer} tp={tp} route={route:5s}: {best:8.3f}s  "
           f"{4/3*n**3/best/1e9:6.0f} GF/s  res {res:.2e}  orth {orth:.2e}  "
           f"fail={bool(fail)}  packed {best_p:.3f}s "
           f"({4/3*n**3/best_p/1e9:.0f} GF/s)  (compile {t_c:.0f}s)",
@@ -80,12 +80,17 @@ def main():
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     route = sys.argv[4] if len(sys.argv) > 4 else "auto"
-    defer = int(sys.argv[5]) if len(sys.argv) > 5 else 1
-    tp = sys.argv[6] if len(sys.argv) > 6 else "highest"
+    # defer / tp accept comma lists ("1,2,4") — the grid runs in ONE
+    # process so the min-of-N numbers are same-process comparable
+    defers = [int(d) for d in (sys.argv[5] if len(sys.argv) > 5
+                               else "1").split(",")]
+    tps = (sys.argv[6] if len(sys.argv) > 6 else "highest").split(",")
     routes = {"both": ["auto", "never"],
               "combos": ["never", "sk", "pan", "auto"]}.get(route, [route])
     for r in routes:
-        run(n, b, reps, r, defer, tp)
+        for tp in tps:
+            for defer in defers:
+                run(n, b, reps, r, defer, tp)
 
 
 if __name__ == "__main__":
