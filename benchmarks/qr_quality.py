@@ -10,17 +10,24 @@ Metrics per driver (CQRRPT / BQRRP explicit / BQRRP factored / HQRRP):
                   (summarized min/max over the leading half)
   pivot metric 2: |diag(R)|_i / σ_i(A) (summarized min/max)
 
-Usage: python benchmarks/qr_quality.py [m] [n] [mat_type] [cond]
-Defaults: 1000 800 polynomial 1e8. Runs in f64 on CPU (quality analysis —
-speed benchmarks live in bqrrp_speed.py / cqrrpt_speed.py).
+Usage: python benchmarks/qr_quality.py [m] [n] [mat_type] [cond] [--chip]
+Defaults: 1000 800 polynomial 1e8, f64 on CPU (reference-grade analysis).
+--chip: drivers run ON THE TPU in f32 (the production arithmetic —
+VERDICT r4 item 5); the yardsticks (f64 SVD + LAPACK geqp3) stay on the
+host CPU. Output JSON additionally lands in docs/pivot_quality_f32.json
+for the docs table.
 """
 import json
 import sys
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+CHIP = "--chip" in sys.argv
+if CHIP:
+    sys.argv = [a for a in sys.argv if a != "--chip"]
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -80,10 +87,16 @@ def main(argv):
     mt = MatType[argv[3]] if len(argv) > 3 else MatType.polynomial
     cond = float(argv[4]) if len(argv) > 4 else 1e8
     K = min(m, n)
-    print(f"[qr_quality] {m}x{n} {mt.value} cond={cond:g} (f64)")
+    arith = "f32 ON CHIP" if CHIP else "f64"
+    print(f"[qr_quality] {m}x{n} {mt.value} cond={cond:g} ({arith})")
 
-    A, st = mat_gen(MatGenInfo(m, n, mt, cond_num=cond), RNGState(0))
-    An = np.asarray(A)
+    dtype = jnp.float32 if CHIP else jnp.float64
+    A, st = mat_gen(MatGenInfo(m, n, mt, cond_num=cond), RNGState(0),
+                    dtype=dtype)
+    # the yardsticks always run in f64 on the host CPU: the pivot-quality
+    # ratios compare the chip's f32 factorization against reference-grade
+    # truth, not against another f32 run
+    An = np.asarray(A).astype(np.float64)
     svals = np.linalg.svd(An, compute_uv=False)
     Qp3, R_qp3, piv = sla.qr(An, mode="economic", pivoting=True)
 
@@ -109,10 +122,21 @@ def main(argv):
     results["geqp3"] = analyze("LAPACK geqp3", Qp3, R_qp3,
                                piv.astype(np.int32), A, svals, R_qp3)
 
-    with open("/tmp/qr_quality.json", "w") as f:
-        json.dump({"m": m, "n": n, "mat": mt.value, "cond": cond,
-                   "results": results}, f, indent=2)
-    print("[qr_quality] wrote /tmp/qr_quality.json")
+    payload = {"m": m, "n": n, "mat": mt.value, "cond": cond,
+               "arithmetic": "f32_chip" if CHIP else "f64_cpu",
+               "results": results}
+    out = "/tmp/qr_quality.json"
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(f"[qr_quality] wrote {out}")
+    if CHIP:
+        import os
+        doc = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "..", "docs", f"pivot_quality_f32_{m}x{n}_"
+                           f"{mt.value}_{cond:g}.json")
+        with open(doc, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(f"[qr_quality] wrote {doc}")
 
 
 if __name__ == "__main__":

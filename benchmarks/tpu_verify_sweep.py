@@ -145,19 +145,21 @@ def main():
     # HIGH keeps a Householder-class sqrt(n)*eps residual (2.4e-5) and is
     # the supported speed mode; DEFAULT (1-pass bf16) lands ~3.2e-3 and
     # is a documented lossy knob. CPU emulation (~5.5e-6) under-models
-    # the real chip — these gates pin the REAL numbers.
+    # the real chip — these gates pin the REAL numbers at measured+~2x
+    # margin (VERDICT r4 item 8: 1e-4/2e-2 couldn't catch a 6x quality
+    # regression).
     facmp, _ = bqrrp_factored(
         A, BQRRPConfig(block_size=256, pivot_candidates=4,
                        trailing_precision="high"), RNGState(12))
     qr_invariants("bqrrp_factored 2048 trailing=high", A,
                   bqrrp_q(facmp), facmp.R, facmp.J, facmp.fail,
-                  1e-4, orth_tol)
+                  5e-5, orth_tol)
     facmp, _ = bqrrp_factored(
         A, BQRRPConfig(block_size=256, pivot_candidates=4,
                        trailing_precision="default"), RNGState(12))
     qr_invariants("bqrrp_factored 2048 trailing=default", A,
                   bqrrp_q(facmp), facmp.R, facmp.J, facmp.fail,
-                  2e-2, orth_tol)
+                  1e-2, orth_tol)
 
     # ABRIK early termination on a fast-decay spectrum
     Afd, _ = fast_decay_matrix(1024, 768, RNGState(13),

@@ -44,7 +44,7 @@ def run_cfg(A, cfg, reps):
         / jnp.linalg.norm(A))
     orth = float(jnp.linalg.norm(
         jnp.matmul(Q.T, Q, precision=hp) - jnp.eye(n, dtype=A.dtype)))
-    return best, res, orth, bool(fac.fail)
+    return best, res, orth, bool(fac.fail), fac.J
 
 
 def main():
@@ -61,13 +61,17 @@ def main():
     print(f"# trailing_precision x update_defer, n={n}, b=512, stages=2, "
           f"pivot_candidates=4, min-of-{reps}")
     print(f"{'trailing':<10} {'defer':>5} {'t(s)':>8} {'TF/s':>7} "
-          f"{'res':>10} {'orth':>10} {'fail':>5}")
+          f"{'res':>10} {'orth':>10} {'fail':>5} {'Jagree':>7}")
+    J_ref = None
     for tp, defer in grid:
         cfg = BQRRPConfig(block_size=512, pivot_candidates=4, stages=2,
                           trailing_precision=tp, update_defer=defer)
-        t, res, orth, fail = run_cfg(A, cfg, reps)
+        t, res, orth, fail, J = run_cfg(A, cfg, reps)
+        if J_ref is None:
+            J_ref = J
+        agree = float(jnp.mean((J == J_ref).astype(jnp.float32)))
         print(f"{tp:<10} {defer:>5} {t:>8.3f} {qr_flops/t/1e12:>7.2f} "
-              f"{res:>10.2e} {orth:>10.2e} {str(fail):>5}",
+              f"{res:>10.2e} {orth:>10.2e} {str(fail):>5} {agree:>7.3f}",
               flush=True)
 
 

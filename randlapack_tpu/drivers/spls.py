@@ -27,10 +27,14 @@ class SPLSConfig:
                                   # "svd": V/√(σ²+μ) (the
                                   # reference's rpc_data_svd path — handles
                                   # μ>0 and rank deficiency)
-    solver: str = "pcg"           # "pcg" (normal equations, the
-                                  # reference's path) | "lsqr" (works on A
-                                  # directly: attainable x-accuracy κ·eps
-                                  # instead of κ²·eps)
+    solver: str = "auto"          # "auto": lsqr for single-rhs b, pcg for
+                                  # multi-rhs (lsqr is single-rhs only).
+                                  # "pcg" (normal equations, the
+                                  # reference's path — x-accuracy limited
+                                  # to κ²·eps) | "lsqr" (works on A
+                                  # directly: attainable x-accuracy κ·eps;
+                                  # on-chip x-err 0.18 vs PCG's 265 at
+                                  # κ≈1e5 f32 — hence the default)
     refine_precond: bool = True   # one CholQR pass of M against the sketch
                                   # Gram — repairs the TPU Gram/eigh SVD's
                                   # trailing-vector error (47→~19 PCG
@@ -73,7 +77,10 @@ def spls(A: jax.Array, b: jax.Array, mu, cfg: SPLSConfig, state: RNGState,
             V_sk, sigma_sk, state = rpc_data_svd_saso(
                 A, d, state, cfg.vec_nnz, precision=precision)
             M, _ = make_right_orthogonalizer(V_sk, sigma_sk, mu)
-    if cfg.solver == "lsqr":
+    solver = cfg.solver
+    if solver == "auto":
+        solver = "lsqr" if (b.ndim == 1 or b.shape[1] == 1) else "pcg"
+    if solver == "lsqr":
         from ..comps.lsqr import LSQRConfig, lsqr
         assert b.ndim == 1 or b.shape[1] == 1, "lsqr path is single-rhs"
         lcfg = LSQRConfig(tol=cfg.pcg.tol, max_iters=cfg.pcg.max_iters)
