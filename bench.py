@@ -23,7 +23,9 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BUDGET_S = 720  # wall budget for the non-headline configs
+BUDGET_S = 1080  # wall budget for the non-headline configs (r5: the
+                 # sparse-operator track + speed modes added ~5 min of
+                 # compiles; the headline JSON is out long before this)
 
 
 def log(msg):
@@ -550,72 +552,6 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"[bench] ABRIK/KRILL skipped: {e}")
 
-    # ---- sparse-operator track ------------------------------------------
-    # The reference benchmarks sparse inputs as a first-class axis
-    # (benchmark/bench_ABRIK/ABRIK_speed_comparisons_sparse.cc:309-316,
-    # generators rl_gen.hh:538,614). Record BCOO-operator perf on this
-    # chip next to the dense run of the SAME matrix so the artifact
-    # carries the dense-vs-sparse crossover story (VERDICT r4 item 4).
-    try:
-        if time.time() - t_start > BUDGET_S:
-            raise TimeoutError("wall budget")
-        log("[bench] sparse-operator track ...")
-        from randlapack_tpu.drivers import ABRIKConfig, abrik
-        from randlapack_tpu.drivers.cholqr_linops import cholqr_linops
-        from randlapack_tpu.gen import (gen_exp_singvals,
-                                        gen_sparse_from_singvals)
-        from randlapack_tpu.linops import DenseLinOp, SparseLinOp
-        m_s, n_s, k_s = 8192, 4096, 64
-        sv = gen_exp_singvals(n_s, 1e6, dtype)
-        acfg_s = ABRIKConfig(block_size=k_s, max_iters=4)
-        sp_res = {}
-        for dens in (0.01, 0.05):
-            Ad, _ = gen_sparse_from_singvals(m_s, n_s, sv, dens,
-                                             RNGState(21))
-            A_op = SparseLinOp.from_dense(Ad)
-            (_, S_sp, _, _, _), t_sp = timed(
-                lambda a, s: abrik(a, k_s, acfg_s, s), A_op,
-                RNGState(22), reps=2)
-            (_, S_dn, _, _, _), t_dn = timed(
-                lambda a, s: abrik(a, k_s, acfg_s, s), Ad,
-                RNGState(22), reps=2)
-            gap = float(jnp.max(jnp.abs(S_sp - S_dn)
-                                / jnp.maximum(S_dn, 1e-30)))
-            sp_res[f"abrik_{m_s}x{n_s}_k{k_s}_density_{dens}"] = {
-                "sparse_op_seconds": t_sp, "dense_seconds": t_dn,
-                "sparse_over_dense": t_sp / t_dn,
-                "sv_rel_gap_vs_dense": gap,
-                "nnz": int(m_s * n_s * dens)}
-            log(f"[bench] sparse ABRIK d={dens}: BCOO {t_sp:.3f}s vs "
-                f"dense {t_dn:.3f}s ({t_sp/t_dn:.2f}x), sv gap "
-                f"{gap:.1e}")
-            del Ad, A_op
-        # CholQR_linops column-blocked Gram on a tall sparse operator
-        Atall, _ = gen_sparse_from_singvals(
-            65536, 1024, gen_exp_singvals(1024, 1e4, dtype), 0.02,
-            RNGState(23))
-        At_op = SparseLinOp.from_dense(Atall)
-        (Rt, ft, _), t_cq_sp = timed(
-            lambda a: cholqr_linops(a), At_op, reps=2)
-        (Rtd, ftd, _), t_cq_dn = timed(
-            lambda a: cholqr_linops(a), DenseLinOp(Atall), reps=2)
-        # Q-less quality: A^T A = R^T R up to the Gram's own rounding
-        G_true = jnp.matmul(Atall.T, Atall, precision=hp)
-        gram_err = float(jnp.linalg.norm(
-            jnp.matmul(Rt.T, Rt, precision=hp) - G_true)
-            / jnp.linalg.norm(G_true))
-        sp_res["cholqr_linops_65536x1024_density_0.02"] = {
-            "sparse_op_seconds": t_cq_sp, "dense_seconds": t_cq_dn,
-            "sparse_over_dense": t_cq_sp / t_cq_dn,
-            "gram_rel_err": gram_err, "fail": bool(ft)}
-        log(f"[bench] sparse CholQR_linops: BCOO {t_cq_sp:.3f}s vs "
-            f"dense {t_cq_dn:.3f}s ({t_cq_sp/t_cq_dn:.2f}x), "
-            f"gram err {gram_err:.2e}")
-        results["sparse_operator_track"] = sp_res
-        del Atall, At_op, Rt, Rtd
-    except Exception as e:  # pragma: no cover
-        log(f"[bench] sparse-operator track skipped: {e}")
-
     # ---- config 2: sketch-precondition least squares -------------------
     try:
         if time.time() - t_start > BUDGET_S:
@@ -681,6 +617,72 @@ def main():
         del A, b, x
     except Exception as e:  # pragma: no cover
         log(f"[bench] SPLS skipped: {e}")
+
+    # ---- sparse-operator track ------------------------------------------
+    # The reference benchmarks sparse inputs as a first-class axis
+    # (benchmark/bench_ABRIK/ABRIK_speed_comparisons_sparse.cc:309-316,
+    # generators rl_gen.hh:538,614). Record BCOO-operator perf on this
+    # chip next to the dense run of the SAME matrix so the artifact
+    # carries the dense-vs-sparse crossover story (VERDICT r4 item 4).
+    try:
+        if time.time() - t_start > BUDGET_S:
+            raise TimeoutError("wall budget")
+        log("[bench] sparse-operator track ...")
+        from randlapack_tpu.drivers import ABRIKConfig, abrik
+        from randlapack_tpu.drivers.cholqr_linops import cholqr_linops
+        from randlapack_tpu.gen import (gen_exp_singvals,
+                                        gen_sparse_from_singvals)
+        from randlapack_tpu.linops import DenseLinOp, SparseLinOp
+        m_s, n_s, k_s = 8192, 4096, 64
+        sv = gen_exp_singvals(n_s, 1e6, dtype)
+        acfg_s = ABRIKConfig(block_size=k_s, max_iters=4)
+        sp_res = {}
+        for dens in (0.01, 0.05):
+            Ad, _ = gen_sparse_from_singvals(m_s, n_s, sv, dens,
+                                             RNGState(21))
+            A_op = SparseLinOp.from_dense(Ad)
+            (_, S_sp, _, _, _), t_sp = timed(
+                lambda a, s: abrik(a, k_s, acfg_s, s), A_op,
+                RNGState(22), reps=2)
+            (_, S_dn, _, _, _), t_dn = timed(
+                lambda a, s: abrik(a, k_s, acfg_s, s), Ad,
+                RNGState(22), reps=2)
+            gap = float(jnp.max(jnp.abs(S_sp - S_dn)
+                                / jnp.maximum(S_dn, 1e-30)))
+            sp_res[f"abrik_{m_s}x{n_s}_k{k_s}_density_{dens}"] = {
+                "sparse_op_seconds": t_sp, "dense_seconds": t_dn,
+                "sparse_over_dense": t_sp / t_dn,
+                "sv_rel_gap_vs_dense": gap,
+                "nnz": int(m_s * n_s * dens)}
+            log(f"[bench] sparse ABRIK d={dens}: BCOO {t_sp:.3f}s vs "
+                f"dense {t_dn:.3f}s ({t_sp/t_dn:.2f}x), sv gap "
+                f"{gap:.1e}")
+            del Ad, A_op
+        # CholQR_linops column-blocked Gram on a tall sparse operator
+        Atall, _ = gen_sparse_from_singvals(
+            65536, 1024, gen_exp_singvals(1024, 1e4, dtype), 0.02,
+            RNGState(23))
+        At_op = SparseLinOp.from_dense(Atall)
+        (Rt, ft, _), t_cq_sp = timed(
+            lambda a: cholqr_linops(a), At_op, reps=2)
+        (Rtd, ftd, _), t_cq_dn = timed(
+            lambda a: cholqr_linops(a), DenseLinOp(Atall), reps=2)
+        # Q-less quality: A^T A = R^T R up to the Gram's own rounding
+        G_true = jnp.matmul(Atall.T, Atall, precision=hp)
+        gram_err = float(jnp.linalg.norm(
+            jnp.matmul(Rt.T, Rt, precision=hp) - G_true)
+            / jnp.linalg.norm(G_true))
+        sp_res["cholqr_linops_65536x1024_density_0.02"] = {
+            "sparse_op_seconds": t_cq_sp, "dense_seconds": t_cq_dn,
+            "sparse_over_dense": t_cq_sp / t_cq_dn,
+            "gram_rel_err": gram_err, "fail": bool(ft)}
+        log(f"[bench] sparse CholQR_linops: BCOO {t_cq_sp:.3f}s vs "
+            f"dense {t_cq_dn:.3f}s ({t_cq_sp/t_cq_dn:.2f}x), "
+            f"gram err {gram_err:.2e}")
+        results["sparse_operator_track"] = sp_res
+        del Atall, At_op, Rt, Rtd
+    except Exception as e:  # pragma: no cover
+        log(f"[bench] sparse-operator track skipped: {e}")
 
     details["results"] = results
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
