@@ -28,9 +28,11 @@ def main():
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     A, st = fast_decay_matrix(m, n, RNGState(0), decay=9.0)
 
-    for qf in ("trsm", "inverse"):
+    grid = [("trsm", 0), ("inverse", 0), ("inverse", 1024),
+            ("inverse", 512), ("inverse", 256)]
+    for qf, gb in grid:
         cfg = CQRRPTConfig(sketch="srht", qrcp=QRCPKind.bqrrp,
-                           bqrrp_block=256, q_form=qf)
+                           bqrrp_block=256, q_form=qf, gram_block=gb)
         out = cqrrpt(A, cfg, st)       # warm compile
         device_sync(out[0])
         best = float("inf")
@@ -45,17 +47,19 @@ def main():
             / jnp.linalg.norm(A))
         orth = float(jnp.linalg.norm(
             jnp.matmul(Q.T, Q, precision=hp) - jnp.eye(n, dtype=Q.dtype)))
-        print(f"q_form={qf:<8} {best:7.3f}s {2*m*n*n/best/1e9:7.0f} GF/s "
+        print(f"q_form={qf:<8} gram_block={gb:<5} {best:7.3f}s "
+              f"{2*m*n*n/best/1e9:7.0f} GF/s "
               f"res {res:.2e} orth {orth:.2e} fail {bool(fail)}",
               flush=True)
         # phase table (timed mode syncs between phases — slower total,
-        # informative split)
-        cqrrpt(A, cfg, st, timing=True)  # warm the split-phase compiles
-        ph = cqrrpt(A, cfg, RNGState(9), timing=True)[-1]
-        print("  phases: " + "  ".join(
-            f"{k}={v:.4f}" for k, v in sorted(ph.items(),
-                                              key=lambda kv: -kv[1])),
-            flush=True)
+        # informative split); only for the configs worth splitting
+        if (qf, gb) in (("inverse", 0), ("inverse", 512)):
+            cqrrpt(A, cfg, st, timing=True)  # warm split-phase compiles
+            ph = cqrrpt(A, cfg, RNGState(9), timing=True)[-1]
+            print("  phases: " + "  ".join(
+                f"{k}={v:.4f}" for k, v in sorted(ph.items(),
+                                                  key=lambda kv: -kv[1])),
+                flush=True)
 
 
 if __name__ == "__main__":

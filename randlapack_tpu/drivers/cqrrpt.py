@@ -78,6 +78,18 @@ class CQRRPTConfig:
                                   # — κ(L) ≈ sketch distortion = O(1) —
                                   # so the explicit inverse loses nothing
                                   # (chip-measured r5: same res/orth)
+    gram_block: int = 512         # >0: compute the CholQR Gram with
+                                  # ops/cholqr.py::gram_syrk at this
+                                  # column-block size — only the upper-
+                                  # triangular blocks (the BLAS syrk flop
+                                  # saving the reference gets from
+                                  # cblas_syrk, rl_cqrrpt.hh:310; 5/8 of
+                                  # the full GEMM's flops at 4 blocks).
+                                  # Chip-measured r5 at 131072×2048:
+                                  # 0.187 s vs 0.199 s full-GEMM, same
+                                  # res/orth (256 ties, 1024 worse).
+                                  # 0 = one full AᵀA GEMM; shapes that
+                                  # don't block evenly fall back to it
 
 
 # --- phases (shared by the fused jit path and the timed path) -------------
@@ -166,14 +178,17 @@ def _trsm_phase(A_piv, R_sk_safe, keep):
     return A_pre
 
 
-def _cholqr_gram(A_pre, keep, precision):
+def _cholqr_gram(A_pre, keep, precision, gram_block=0):
     # band guard (ops/cholqr.py::_finite_scaled): the trsm against the
     # clamped R_sk diagonal can leave huge/Inf columns on deficient
     # inputs, and a Gram overflow would reach the TPU Cholesky kernel
-    from ..ops.cholqr import _finite_scaled
+    from ..ops.cholqr import _finite_scaled, gram_syrk
     A_pre, s, nonfin = _finite_scaled(A_pre)
-    G = (jnp.matmul(A_pre.T, A_pre, precision=precision)
-         + jnp.diag(1.0 - keep))
+    if gram_block > 0:
+        G = gram_syrk(A_pre, precision, gram_block) + jnp.diag(1.0 - keep)
+    else:
+        G = (jnp.matmul(A_pre.T, A_pre, precision=precision)
+             + jnp.diag(1.0 - keep))
     return A_pre, G, s, nonfin
 
 
@@ -191,12 +206,13 @@ def _cholqr_qform(A_pre, L, q_form, precision):
         L.T, A_pre, left_side=False, lower=False)
 
 
-@partial(jax.jit, static_argnames=("q_form", "precision"))
-def _cholqr_phase(A_pre, keep, R_sk_safe, q_form, precision):
+@partial(jax.jit, static_argnames=("q_form", "precision", "gram_block"))
+def _cholqr_phase(A_pre, keep, R_sk_safe, q_form, precision,
+                  gram_block=0):
     # static-shape rank deficiency: zeroed columns + identity trailing
     # block in the Gram — Cholesky nests, so the leading rank×rank factor
     # matches the reference's shrunken computation exactly
-    A_pre, G, s, nonfin = _cholqr_gram(A_pre, keep, precision)
+    A_pre, G, s, nonfin = _cholqr_gram(A_pre, keep, precision, gram_block)
     L = jax.lax.linalg.cholesky(G)
     fail = jnp.any(jnp.isnan(L)) | nonfin
     Q = _cholqr_qform(A_pre, L, q_form, precision)
@@ -220,7 +236,8 @@ def _orth_phase(Q, keep, key, fail, precision):
     return jnp.where(keep[None, :] > 0, Q, Qc), fail | f2
 
 
-_cholqr_gram_jit = partial(jax.jit, static_argnames=("precision",))(
+_cholqr_gram_jit = partial(jax.jit,
+                           static_argnames=("precision", "gram_block"))(
     _cholqr_gram)
 _potrf_jit = jax.jit(jax.lax.linalg.cholesky)
 _qform_jit = partial(jax.jit, static_argnames=("q_form", "precision"))(
@@ -283,8 +300,8 @@ def cqrrpt(A: jax.Array, cfg: CQRRPTConfig, state: RNGState,
             # dominant phase — name where the time goes). Same math as
             # the fused _cholqr_phase, synced between pieces.
             with _phase("cholqr_gram"):
-                A_pre2, G, s, nonfin = _cholqr_gram_jit(A_pre, keep,
-                                                        precision)
+                A_pre2, G, s, nonfin = _cholqr_gram_jit(
+                    A_pre, keep, precision, cfg.gram_block)
                 device_sync(G)
             with _phase("cholqr_potrf"):
                 L = _potrf_jit(G)
@@ -298,7 +315,8 @@ def cqrrpt(A: jax.Array, cfg: CQRRPTConfig, state: RNGState,
                 device_sync(R)
         else:
             Q, R, fail = _cholqr_phase(A_pre, keep, R_sk_safe,
-                                       cfg.q_form, precision)
+                                       cfg.q_form, precision,
+                                       cfg.gram_block)
     if cfg.orthogonalization:
         with _phase("orth"):
             key, state = state.spawn()

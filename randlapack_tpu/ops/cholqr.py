@@ -22,6 +22,40 @@ def _gram(A, precision):
     return jnp.matmul(A.T, A, precision=precision)
 
 
+def gram_syrk(A, precision, block: int = 512):
+    """Symmetric Gram AᵀA computing only the upper-triangular column
+    blocks — the SYRK flop saving the reference gets from BLAS
+    (rl_orth.hh:74 uses ``syrk``; XLA has no syrk primitive, so a full
+    ``AᵀA`` GEMM pays 2·m·n² where syrk pays half).
+
+    Block i contributes G[i·b:(i+1)·b, i·b:] = A_iᵀ·A[:, i·b:] — one
+    shrinking-width GEMM per block, Σ flops = m·n·b·(nb+1)/2 vs m·n²
+    full (5/8 at nb = 4). The mirror is assembled with static masks, so
+    the output is EXACTLY symmetric (the full GEMM's G is only
+    symmetric to rounding). Falls back to the full GEMM when n doesn't
+    block evenly or has < 2 blocks (no saving to get).
+    """
+    m, n = A.shape
+    nb = n // block
+    if n % block or nb < 2:
+        return _gram(A, precision)
+    rows = []
+    for i in range(nb):
+        Gi = jnp.matmul(A[:, i * block:(i + 1) * block].T,
+                        A[:, i * block:], precision=precision)
+        rows.append(jnp.pad(Gi, ((0, 0), (i * block, 0))))
+    W = jnp.concatenate(rows, axis=0)
+    # W holds the block-upper triangle (diagonal blocks fully computed,
+    # symmetric up to rounding); mirror the strictly-above-diagonal
+    # BLOCKS and symmetrize the diagonal blocks explicitly
+    bidx = jnp.arange(n) // block
+    above = (bidx[None, :] > bidx[:, None])
+    on_diag = (bidx[None, :] == bidx[:, None])
+    W_up = jnp.where(above, W, 0.0)
+    D = jnp.where(on_diag, W, 0.0)
+    return W_up + W_up.T + 0.5 * (D + D.T)
+
+
 def _solve_rt(A, R, precision=None):
     """A @ R^{-1} for upper-triangular R via triangular_solve."""
     return jax.lax.linalg.triangular_solve(

@@ -78,6 +78,22 @@ class TestCholQR:
             jnp.matmul(Q.T, Q, precision=jax.lax.Precision.HIGHEST)
             - jnp.eye(50, dtype=Q.dtype))) < 1e-4
 
+    @pytest.mark.parametrize("n,block", [(128, 32), (96, 32), (100, 32),
+                                         (64, 64), (128, 128)])
+    def test_gram_syrk_matches_full(self, n, block):
+        # blocked upper-triangle Gram == full GEMM Gram (exact in f64 up
+        # to summation order); uneven / single-block shapes fall back
+        from randlapack_tpu.ops.cholqr import gram_syrk, _gram
+        A, _ = mat_gen(MatGenInfo(700, n, MatType.gaussian), RNGState(11))
+        G_s = gram_syrk(A, jax.lax.Precision.HIGHEST, block)
+        G_f = _gram(A, jax.lax.Precision.HIGHEST)
+        assert np.allclose(np.asarray(G_s), np.asarray(G_f),
+                           atol=1e-12 * float(jnp.max(jnp.abs(G_f))))
+        if n % block == 0 and n // block >= 2:
+            # the blocked path's assembled output is EXACTLY symmetric
+            # (uneven shapes fall back to the full GEMM, which is not)
+            assert np.array_equal(np.asarray(G_s), np.asarray(G_s).T)
+
     def test_cholqr_fails_on_bad(self):
         # cond ~ 1/sqrt(eps_f64) breaks one-pass CholQR's Gram matrix
         A, _ = bad_cholqr_matrix(400, 50, RNGState(2), jnp.float64,

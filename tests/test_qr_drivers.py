@@ -91,6 +91,20 @@ class TestCQRRPT:
         assert not bool(fail)
         _check_qr(A, Q, R, J)
 
+    def test_gram_block_same_result(self):
+        # syrk-blocked Gram is a pure flop-saving rearrangement: same
+        # factorization quality, same pivots, same rank
+        A, st = mat_gen(MatGenInfo(2000, 128, MatType.polynomial,
+                                   cond_num=1e6), RNGState(21))
+        Q0, R0, J0, r0, f0, _ = cqrrpt(A, CQRRPTConfig(), st)
+        Qb, Rb, Jb, rb, fb, _ = cqrrpt(A, CQRRPTConfig(gram_block=32), st)
+        assert not bool(f0) and not bool(fb)
+        assert np.array_equal(np.asarray(J0), np.asarray(Jb))
+        assert int(r0) == int(rb)
+        _check_qr(A, Qb, Rb, Jb)
+        assert np.allclose(np.asarray(Rb), np.asarray(R0),
+                           atol=1e-9 * float(jnp.max(jnp.abs(R0))))
+
     def test_pivot_quality(self):
         # leading R diagonal should track the large singular values
         A, st = mat_gen(MatGenInfo(2000, 100, MatType.step, cond_num=1e6),
