@@ -353,8 +353,12 @@ def main():
         log("[bench] CQRRPT 131072x2048 ...")
         m, nc = 131072, 2048
         A, st = fast_decay_matrix(m, nc, RNGState(2), dtype=dtype, decay=9.0)
+        # trsm_mode="blockinv": partitioned-inverse a_mod_trsm, chip-
+        # verified identical res/orth on this spread-decay matrix
+        # (0.174 s vs 0.189 s, benchmarks/cqrrpt_trsm_sweep.py); the
+        # library default stays the backward-stable XLA solve
         ccfg = CQRRPTConfig(sketch="srht", qrcp=QRCPKind.bqrrp,
-                            bqrrp_block=256)
+                            bqrrp_block=256, trsm_mode="blockinv")
         (Qc, Rc, Jc, rkc, failc, _), t_cq = timed(
             lambda a, s: cqrrpt(a, ccfg, s), A, st)
         cq_flops = 2.0 * m * nc ** 2

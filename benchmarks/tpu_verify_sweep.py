@@ -90,6 +90,13 @@ def main():
     Q, R, J, rank, fail, _ = cqrrpt(At, CQRRPTConfig(sketch="srht"), st2)
     qr_invariants("cqrrpt 16384x512", At, Q, R, J, fail, res_tol,
                   eps ** 0.75 * np.sqrt(512) * 10)
+    # the bench-headline opt-in: partitioned-inverse a_mod_trsm must
+    # keep trsm-grade quality on a spread-decay matrix (ops/trsm.py)
+    Q, R, J, rank, fail, _ = cqrrpt(
+        At, CQRRPTConfig(sketch="srht", trsm_mode="blockinv",
+                         trsm_block=128), st2)
+    qr_invariants("cqrrpt 16384x512 trsm=blockinv", At, Q, R, J, fail,
+                  res_tol, eps ** 0.75 * np.sqrt(512) * 10)
 
     # the miscompile regression class: QB/RSVD error histories must decay
     U, S, Vt, err, _ = rsvd_fixed_rank(

@@ -90,6 +90,18 @@ class CQRRPTConfig:
                                   # res/orth (256 ties, 1024 worse).
                                   # 0 = one full AᵀA GEMM; shapes that
                                   # don't block evenly fall back to it
+    trsm_mode: str = "xla"        # a_mod_trsm implementation: "xla" =
+                                  # lax triangular_solve (backward-
+                                  # stable); "blockinv" = partitioned-
+                                  # inverse trsm (ops/trsm.py — inverts
+                                  # only the b×b diagonal blocks of
+                                  # R_sk, back-substitution recurrence
+                                  # as MXU GEMMs, the cuBLAS/MAGMA
+                                  # restructure). blockinv amplifies by
+                                  # κ(diag block) ≈ κ(R)^(b/n) instead
+                                  # of being backward-stable — fine for
+                                  # pivoted R with spread-out decay
+    trsm_block: int = 256         # diagonal-block size for blockinv
 
 
 # --- phases (shared by the fused jit path and the timed path) -------------
@@ -171,11 +183,17 @@ def _piv_phase(A, J):
     return util.col_swap(A, J)
 
 
-@jax.jit
-def _trsm_phase(A_piv, R_sk_safe, keep):
-    A_pre = jax.lax.linalg.triangular_solve(
-        R_sk_safe, A_piv, left_side=False, lower=False) * keep[None, :]
-    return A_pre
+@partial(jax.jit, static_argnames=("mode", "block", "precision"))
+def _trsm_phase(A_piv, R_sk_safe, keep, mode="xla", block=256,
+                precision=None):
+    if mode == "blockinv":
+        from ..ops.trsm import trsm_right_upper_blockinv
+        A_pre = trsm_right_upper_blockinv(A_piv, R_sk_safe, block,
+                                          precision)
+    else:
+        A_pre = jax.lax.linalg.triangular_solve(
+            R_sk_safe, A_piv, left_side=False, lower=False)
+    return A_pre * keep[None, :]
 
 
 def _cholqr_gram(A_pre, keep, precision, gram_block=0):
@@ -291,7 +309,8 @@ def cqrrpt(A: jax.Array, cfg: CQRRPTConfig, state: RNGState,
         if timing:
             device_sync(A_piv)
     with _phase("a_mod_trsm"):
-        A_pre = _trsm_phase(A_piv, R_sk_safe, keep)
+        A_pre = _trsm_phase(A_piv, R_sk_safe, keep, cfg.trsm_mode,
+                            cfg.trsm_block, precision)
         if timing:
             device_sync(A_pre)
     with _phase("cholqr"):

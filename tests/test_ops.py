@@ -94,6 +94,27 @@ class TestCholQR:
             # (uneven shapes fall back to the full GEMM, which is not)
             assert np.array_equal(np.asarray(G_s), np.asarray(G_s).T)
 
+    @pytest.mark.parametrize("n,block", [(128, 32), (96, 32), (100, 32),
+                                         (64, 64)])
+    def test_trsm_blockinv_matches_xla(self, n, block):
+        # partitioned-inverse right-trsm == XLA triangular_solve on a
+        # pivoted-QR-style R (decay spread along the diagonal); uneven /
+        # single-block shapes fall back to the XLA solve exactly
+        from randlapack_tpu.ops.trsm import trsm_right_upper_blockinv
+        A, st = mat_gen(MatGenInfo(500, n, MatType.polynomial,
+                                   cond_num=1e8), RNGState(3))
+        _, R, _ = geqp3(A, want_q=False,
+                        precision=jax.lax.Precision.HIGHEST)
+        R = R[:n, :]
+        B, _ = mat_gen(MatGenInfo(500, n, MatType.gaussian), st)
+        X_ref = jax.lax.linalg.triangular_solve(
+            R, B, left_side=False, lower=False)
+        X_blk = trsm_right_upper_blockinv(
+            B, R, block, jax.lax.Precision.HIGHEST)
+        rel = (float(jnp.linalg.norm(X_blk - X_ref))
+               / float(jnp.linalg.norm(X_ref)))
+        assert rel < 1e-10  # f64: both solves agree to roundoff-class
+
     def test_cholqr_fails_on_bad(self):
         # cond ~ 1/sqrt(eps_f64) breaks one-pass CholQR's Gram matrix
         A, _ = bad_cholqr_matrix(400, 50, RNGState(2), jnp.float64,

@@ -105,6 +105,19 @@ class TestCQRRPT:
         assert np.allclose(np.asarray(Rb), np.asarray(R0),
                            atol=1e-9 * float(jnp.max(jnp.abs(R0))))
 
+    def test_trsm_mode_blockinv_same_result(self):
+        # partitioned-inverse a_mod_trsm: same pivots/rank, QR quality
+        # within the driver's f64 tolerance on an ill-conditioned input
+        A, st = mat_gen(MatGenInfo(2000, 128, MatType.polynomial,
+                                   cond_num=1e6), RNGState(23))
+        Q0, R0, J0, r0, f0, _ = cqrrpt(A, CQRRPTConfig(), st)
+        Qb, Rb, Jb, rb, fb, _ = cqrrpt(
+            A, CQRRPTConfig(trsm_mode="blockinv", trsm_block=32), st)
+        assert not bool(f0) and not bool(fb)
+        assert np.array_equal(np.asarray(J0), np.asarray(Jb))
+        assert int(r0) == int(rb)
+        _check_qr(A, Qb, Rb, Jb)
+
     def test_pivot_quality(self):
         # leading R diagonal should track the large singular values
         A, st = mat_gen(MatGenInfo(2000, 100, MatType.step, cond_num=1e6),

@@ -154,6 +154,9 @@ for trial in range(TRIALS):
                     bqrrp_update_defer=rng.choice([1, 2, 4]),
                     bqrrp_trailing_precision=tp,
                     q_form=rng.choice(["inverse", "trsm"]),
+                    gram_block=rng.choice([0, 16, 32, 512]),
+                    trsm_mode=rng.choice(["xla", "blockinv"]),
+                    trsm_block=rng.choice([16, 32, 256]),
                     d_factor=rng.choice([1.25, 2.0, 4.0]),
                     orthogonalization=rng.random() < 0.3)
                 Q, R, J, rank, fail, _ = cqrrpt(A, cfg, st)
