@@ -364,7 +364,13 @@ def main():
         cq_flops = 2.0 * m * nc ** 2
         results["cqrrpt_131072x2048"] = {
             "seconds": t_cq, "gflops": cq_flops / t_cq / 1e9,
-            "rank": int(rkc), "fail": bool(failc)}
+            "rank": int(rkc), "fail": bool(failc),
+            "config": {"sketch": ccfg.sketch, "qrcp": ccfg.qrcp.value,
+                       "bqrrp_block": ccfg.bqrrp_block,
+                       "q_form": ccfg.q_form,
+                       "gram_block": ccfg.gram_block,
+                       "trsm_mode": ccfg.trsm_mode,
+                       "trsm_block": ccfg.trsm_block}}
         log(f"[bench] CQRRPT: {t_cq:.3f}s = {cq_flops/t_cq/1e9:.0f} GFLOP/s")
         # CholQR Gram + trsm dominate the flops (2mn^2); traffic ~ 6
         # full passes of A (sketch read, pivot gather r+w, trsm r+w,
