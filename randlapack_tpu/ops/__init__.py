@@ -2,6 +2,7 @@
 from .cholqr import (cholqr, cholqr2, cholqr_auto,
                      preconditioned_cholqr, shifted_cholqr3)
 from .qr import geqp3, lu_pivot_columns, qr_econ
+from .trsm import trsm_right_upper_blockinv
 from . import util
 
 __all__ = [
