@@ -37,18 +37,39 @@ def main():
     nrmA = float(jnp.linalg.norm(A))
     eye = jnp.eye(n, dtype=jnp.float32)
 
-    sweep = [
-        ("b512/s2/d1 (r2 headline)", BQRRPConfig(
-            block_size=512, pivot_candidates=4, stages=2)),
-        ("b512/s2/d2", BQRRPConfig(
-            block_size=512, pivot_candidates=4, stages=2, update_defer=2)),
-        ("b1024/s2", BQRRPConfig(
-            block_size=1024, pivot_candidates=4, stages=2)),
-        ("b1024/s2/d2", BQRRPConfig(
-            block_size=1024, pivot_candidates=4, stages=2, update_defer=2)),
-        ("b2048/s2", BQRRPConfig(
-            block_size=2048, pivot_candidates=4, stages=2)),
-    ]
+    if len(sys.argv) > 3 and sys.argv[3] == "small":
+        # r5: the DOWNWARD direction (b<512) was never measured at the
+        # headline config; small blocks shed O(n*m*b) panel+downdate
+        # flops but add iterations — defer merges the trailing GEMMs
+        sweep = [
+            ("b512/s2/d2 (r5 headline)", BQRRPConfig(
+                block_size=512, pivot_candidates=4, stages=2,
+                update_defer=2)),
+            ("b256/s2/d2", BQRRPConfig(
+                block_size=256, pivot_candidates=4, stages=2,
+                update_defer=2)),
+            ("b256/s2/d4", BQRRPConfig(
+                block_size=256, pivot_candidates=4, stages=2,
+                update_defer=4)),
+            ("b128/s2/d4", BQRRPConfig(
+                block_size=128, pivot_candidates=4, stages=2,
+                update_defer=4)),
+        ]
+    else:
+        sweep = [
+            ("b512/s2/d1 (r2 headline)", BQRRPConfig(
+                block_size=512, pivot_candidates=4, stages=2)),
+            ("b512/s2/d2", BQRRPConfig(
+                block_size=512, pivot_candidates=4, stages=2,
+                update_defer=2)),
+            ("b1024/s2", BQRRPConfig(
+                block_size=1024, pivot_candidates=4, stages=2)),
+            ("b1024/s2/d2", BQRRPConfig(
+                block_size=1024, pivot_candidates=4, stages=2,
+                update_defer=2)),
+            ("b2048/s2", BQRRPConfig(
+                block_size=2048, pivot_candidates=4, stages=2)),
+        ]
     flops = 4.0 / 3.0 * n ** 3
     for name, cfg in sweep:
         try:
