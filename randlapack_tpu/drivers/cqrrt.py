@@ -200,9 +200,23 @@ def _cqrrt_orth_jit(A: jax.Array, cfg: CQRRTConfig, state: RNGState,
     L_safe = jnp.where(jnp.isnan(L), jnp.eye(n, dtype=dtype), L)
     Q = jax.lax.linalg.triangular_solve(
         L_safe.T, A_pre, left_side=False, lower=False)
+    # Second CholQR pass (CholQR2): kept columns whose sketch-R diagonal
+    # sits just above the eps*max keep cutoff are preconditioned into
+    # near-noise, and one pass leaves ||Q'Q-I|| ~ eps*kappa^2 (fuzz
+    # seed 850001 t3: 6e-7 on a 30-decade column-scale spread). The
+    # orthogonalization contract IS the orthonormal basis, so pay one
+    # more Gram+trsm here (off the hot path) - orth lands at eps-level
+    # whenever the first pass got kappa(Q) below ~1/sqrt(eps).
+    G2 = (jnp.matmul(Q.T, Q, precision=precision)
+          + jnp.diag(1.0 - keep))
+    L2 = jax.lax.linalg.cholesky(0.5 * (G2 + G2.T))
+    fail = fail | jnp.any(jnp.isnan(L2))
+    L2_safe = jnp.where(jnp.isnan(L2), jnp.eye(n, dtype=dtype), L2)
+    Q = jax.lax.linalg.triangular_solve(
+        L2_safe.T, Q, left_side=False, lower=False)
     key, state = state.spawn()
     Q, fail = _orth_phase(Q, keep, key, fail, precision)
-    R = L_safe.T * s
+    R = jnp.matmul(L2_safe.T, L_safe.T, precision=precision) * s
     return Q, R, rank, fail, state
 
 

@@ -218,6 +218,23 @@ class TestCQRRTOrthogonalization:
                      / jnp.linalg.norm(A2))
         assert proj < ATOL * 10
 
+    def test_boundary_columns_colscale(self):
+        # fuzz seed 850001 t3 reduction: columns scaled across ~30
+        # decades put kept columns right at the eps*max keep cutoff —
+        # preconditioned near-noise columns left one-pass CholQR orth at
+        # 6e-7/6e-8; the CholQR2 second pass must hold eps-level orth
+        A, st = mat_gen(MatGenInfo(800, 100, MatType.exponential,
+                                   cond_num=1e6), RNGState(850004))
+        from randlapack_tpu.drivers import SketchKind
+        rng = np.random.RandomState(7)
+        scales = 10.0 ** rng.uniform(-18, 2, size=100)
+        A = A * jnp.asarray(scales)[None, :] * 1e-12
+        Q, R, rank, fail, _ = cqrrt(
+            A, CQRRTConfig(sketch=SketchKind.saso, d_factor=1.25,
+                           orthogonalization=True), st)
+        assert bool(fail) or (
+            float(util.orthogonality_check(Q)) < 1e-11 * np.sqrt(100))
+
     def test_full_rank_matches_plain(self):
         # full-rank input: orth mode is just CQRRT with an extra
         # (no-op-selecting) completion — Q must still factor A

@@ -186,7 +186,11 @@ for trial in range(TRIALS):
                     - jnp.eye(n, dtype=Q.dtype)))
                 if not (bool(fail) or orth_err < 1e-8 * np.sqrt(n)):
                     fails += 1
-                    print(f"FAIL {tag}: orth={orth_err:.3e}", flush=True)
+                    cn = jnp.linalg.norm(A, axis=0)
+                    print(f"FAIL {tag}: orth={orth_err:.3e} rank={int(rank)}"
+                          f" sketch={cfg.sketch} d_factor={cfg.d_factor}"
+                          f" colnorm[{float(jnp.min(cn)):.1e},"
+                          f"{float(jnp.max(cn)):.1e}]", flush=True)
             else:
                 Q, R, fail, _ = cqrrt(A, cfg, st)
                 res = float(jnp.linalg.norm(
