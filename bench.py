@@ -115,11 +115,15 @@ def main():
     n = 8192
     log(f"[bench] BQRRP {n}x{n} (factored / GEQP3-semantics) ...")
     A, st = fast_decay_matrix(n, n, RNGState(0), dtype=dtype)
-    # update_defer=2 measured on chip (trailing_precision_sweep r4):
-    # 0.170 vs 0.196 s same-process at identical quality (the defer
-    # telescoping is exact — same pivots, R to 1e-16)
-    cfg = BQRRPConfig(block_size=512, pivot_candidates=4, stages=2,
-                      update_defer=2)
+    # b256/defer=4/pc2 measured on chip (bqrrp_small_block_refine r5):
+    # 0.142-0.150 s same-process vs 0.155-0.172 for the old b512/d2/pc4
+    # at identical reference-grade quality (res 6.5e-7) and identical
+    # geqp3 trailing-norm pivot ratios ([0.72,1.03] vs [0.78,1.03] —
+    # /tmp grids pinned in docs/perf_grids_r5.md). Smaller blocks shed
+    # O(n*m*b) panel+downdate flops; defer=4 keeps the trailing GEMMs
+    # wide.
+    cfg = BQRRPConfig(block_size=256, pivot_candidates=2, stages=2,
+                      update_defer=4)
     # min-of-8: warm reps are ~0.25s each and the headline runs before the
     # wall budget starts; extra reps squeeze the within-process sampling
     # noise out of the one number the driver records
@@ -289,18 +293,23 @@ def main():
 
     # headline: 4/3 n^3 QR flops; traffic ~ 2 trailing read+write sweeps
     # of the remaining columns per block = 2*m*n^2/b elements * 4 B
-    attach_sol("bqrrp_8192", qr_flops, 2.0 * 8192 ** 3 / 512 * 4)
+    # (defer=4 telescopes 4 blocks into one update -> effective b=1024
+    # for the traffic model, but keep the per-block estimate: the
+    # deferred groups still read the trailing panel once per member for
+    # the Wk projections)
+    attach_sol("bqrrp_8192", qr_flops, 2.0 * 8192 ** 3 / 256 * 4)
 
     # speed mode: trailing A-update GEMMs at Precision.HIGH (panel/R/T
     # math stays HIGHEST). Chip-measured res 2.4e-5 at 8192 — i.e.
-    # ~sqrt(n)*eps Householder-class residual, orth unchanged. r5 grid
-    # closed the high×defer hole: defer does NOT compose with high
-    # (d1=d2=0.146 s, d4 worse) — d1 is the supported speed config.
-    # Recorded AFTER the headline JSON is out (ADVICE r4: a hang here
-    # must not cost the one-line output).
+    # ~sqrt(n)*eps Householder-class residual, orth unchanged. r5
+    # small-block refine: at b256 `high` DOES compose with defer
+    # (0.120 s = 6.1 TF/s at d4/pc2, vs 0.146 s for the b512/d1 r4
+    # config). Recorded AFTER the headline JSON is out (ADVICE r4: a
+    # hang here must not cost the one-line output).
     try:
-        cfg_sp = BQRRPConfig(block_size=512, pivot_candidates=4,
-                             stages=2, trailing_precision="high")
+        cfg_sp = BQRRPConfig(block_size=256, pivot_candidates=2,
+                             stages=2, update_defer=4,
+                             trailing_precision="high")
         (fac_sp, _), t_sp = timed(
             lambda a, s: bqrrp_factored(a, cfg_sp, s), A, st, reps=6)
         Qs = bqrrp_q(fac_sp)
@@ -310,7 +319,8 @@ def main():
         results["bqrrp_8192_speed_mode"] = {
             "seconds": t_sp, "gflops": qr_flops / t_sp / 1e9,
             "residual": res_sp, "trailing_precision": "high",
-            "update_defer": 1}
+            "block_size": 256, "pivot_candidates": 2,
+            "update_defer": 4}
         log(f"[bench] BQRRP {n} speed mode (trailing=high): "
             f"{t_sp:.3f}s = {qr_flops / t_sp / 1e9:.0f} GFLOP/s, "
             f"res {res_sp:.2e}")

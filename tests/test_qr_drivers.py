@@ -300,7 +300,9 @@ class TestHeadlineConfigShape:
                                             bqrrp_q)
         A, st = mat_gen(MatGenInfo(1024, 1024, MatType.exponential,
                                    cond_num=1e6), RNGState(77))
-        cfg = BQRRPConfig(block_size=128, pivot_candidates=4, stages=2)
+        # mirrors the r5 headline shape (b=n/32, defer=4, pc=2)
+        cfg = BQRRPConfig(block_size=32, pivot_candidates=2, stages=2,
+                          update_defer=4)
         fac, _ = bqrrp_factored(A, cfg, st)
         Q = bqrrp_q(fac)
         res = float(jnp.linalg.norm(Q @ fac.R - jnp.take(A, fac.J, axis=1))
