@@ -377,6 +377,19 @@ for trial in range(TRIALS):
                         fails += 1
                         print(f"FAIL {tag}: orth={orth:.3e}", flush=True)
                     continue
+                if drv == "cqrrpt" and m < n:
+                    # tall-only contract: the loud require IS the
+                    # expected behavior on wide inputs (r3 fuzz catch)
+                    from randlapack_tpu.errors import RandLAPACKError
+                    try:
+                        dist_cqrrpt(A, mesh, st)
+                        fails += 1
+                        print(f"FAIL {tag}: wide input not rejected",
+                              flush=True)
+                    except RandLAPACKError:
+                        pass
+                    print(f"ok {tag} (wide->require)", flush=True)
+                    continue
                 fn = {"bqrrp": dist_bqrrp, "cqrrpt": dist_cqrrpt,
                       "hqrrp": dist_hqrrp}[drv]
                 kw = {} if drv == "cqrrpt" else {"block_size": 16}
