@@ -367,8 +367,12 @@ def main():
         # verified identical res/orth on this spread-decay matrix
         # (0.174 s vs 0.189 s, benchmarks/cqrrpt_trsm_sweep.py); the
         # library default stays the backward-stable XLA solve
+        # bqrrp_pivot_candidates=2 on the sketch QRCP: 0.172 vs 0.178 s
+        # same-process (r5 knob sweep; defer/stages/b128 all measured
+        # neutral-to-worse on the wide 4096x2048 sketch)
         ccfg = CQRRPTConfig(sketch="srht", qrcp=QRCPKind.bqrrp,
-                            bqrrp_block=256, trsm_mode="blockinv")
+                            bqrrp_block=256, bqrrp_pivot_candidates=2,
+                            trsm_mode="blockinv")
         (Qc, Rc, Jc, rkc, failc, _), t_cq = timed(
             lambda a, s: cqrrpt(a, ccfg, s), A, st)
         cq_flops = 2.0 * m * nc ** 2
@@ -377,6 +381,8 @@ def main():
             "rank": int(rkc), "fail": bool(failc),
             "config": {"sketch": ccfg.sketch, "qrcp": ccfg.qrcp.value,
                        "bqrrp_block": ccfg.bqrrp_block,
+                       "bqrrp_pivot_candidates":
+                           ccfg.bqrrp_pivot_candidates,
                        "q_form": ccfg.q_form,
                        "gram_block": ccfg.gram_block,
                        "trsm_mode": ccfg.trsm_mode,
