@@ -363,9 +363,10 @@ def main():
         log("[bench] CQRRPT 131072x2048 ...")
         m, nc = 131072, 2048
         A, st = fast_decay_matrix(m, nc, RNGState(2), dtype=dtype, decay=9.0)
-        # trsm_mode="blockinv": partitioned-inverse a_mod_trsm, chip-
-        # verified identical res/orth on this spread-decay matrix
-        # (0.174 s vs 0.189 s, benchmarks/cqrrpt_trsm_sweep.py); the
+        # trsm_mode="blockinv": partitioned-inverse a_mod_trsm with the
+        # pivot gather fused into the per-block reads, chip-verified
+        # identical res/orth on this spread-decay matrix (0.166 s vs
+        # 0.189 s xla, benchmarks/cqrrpt_trsm_sweep.py r5-cont-3); the
         # library default stays the backward-stable XLA solve
         # bqrrp_pivot_candidates=2 on the sketch QRCP: 0.172 vs 0.178 s
         # same-process (r5 knob sweep; defer/stages/b128 all measured
@@ -388,10 +389,12 @@ def main():
                        "trsm_mode": ccfg.trsm_mode,
                        "trsm_block": ccfg.trsm_block}}
         log(f"[bench] CQRRPT: {t_cq:.3f}s = {cq_flops/t_cq/1e9:.0f} GFLOP/s")
-        # CholQR Gram + trsm dominate the flops (2mn^2); traffic ~ 6
-        # full passes of A (sketch read, pivot gather r+w, trsm r+w,
-        # Gram read) — the sketch QRCP runs on the small d x n sketch
-        attach_sol("cqrrpt_131072x2048", cq_flops, 6.0 * m * nc * 4)
+        # CholQR Gram + trsm dominate the flops (2mn^2); traffic ~ 4
+        # full passes of A (sketch read, fused-gather trsm r+w, Gram
+        # read) — the pivot gather's former r+w pass is folded into the
+        # blockinv per-block reads (ops/trsm.py cols, r5-cont-3); the
+        # sketch QRCP runs on the small d x n sketch
+        attach_sol("cqrrpt_131072x2048", cq_flops, 4.0 * m * nc * 4)
         # phase attribution (the reference's CQRRPT_runtime_breakdown.cc):
         # one synced run — phase sums exceed the fused wall time (each
         # sync pays the ~30ms tunnel RTT), so only the RATIOS matter

@@ -196,6 +196,20 @@ def _trsm_phase(A_piv, R_sk_safe, keep, mode="xla", block=256,
     return A_pre * keep[None, :]
 
 
+@partial(jax.jit, static_argnames=("block", "precision"))
+def _trsm_phase_gather(A, J, R_sk_safe, keep, block=256, precision=None):
+    # blockinv production path: the pivot gather A[:, J] is folded into
+    # the per-block reads of the back-substitution (ops/trsm.py ``cols``)
+    # so the permuted m×n operand never materializes — removes the
+    # a_mod_piv pass's ~2·m·n·4 bytes of HBM traffic. (The timed path
+    # keeps the separate gather so the 8-slot reference timing vector
+    # stays comparable, rl_cqrrpt.hh:370-383.)
+    from ..ops.trsm import trsm_right_upper_blockinv
+    A_pre = trsm_right_upper_blockinv(A, R_sk_safe, block, precision,
+                                      cols=J)
+    return A_pre * keep[None, :]
+
+
 def _cholqr_gram(A_pre, keep, precision, gram_block=0):
     # band guard (ops/cholqr.py::_finite_scaled): the trsm against the
     # clamped R_sk diagonal can leave huge/Inf columns on deficient
@@ -304,15 +318,20 @@ def cqrrpt(A: jax.Array, cfg: CQRRPTConfig, state: RNGState,
         rank, keep, R_sk_safe = _rank_phase(R_sk, cfg)
         if timing:
             device_sync(R_sk_safe)
-    with _phase("a_mod_piv"):
-        A_piv = _piv_phase(A, J)
-        if timing:
-            device_sync(A_piv)
-    with _phase("a_mod_trsm"):
-        A_pre = _trsm_phase(A_piv, R_sk_safe, keep, cfg.trsm_mode,
-                            cfg.trsm_block, precision)
-        if timing:
-            device_sync(A_pre)
+    if cfg.trsm_mode == "blockinv" and not timing:
+        with _phase("a_mod_trsm"):
+            A_pre = _trsm_phase_gather(A, J, R_sk_safe, keep,
+                                       cfg.trsm_block, precision)
+    else:
+        with _phase("a_mod_piv"):
+            A_piv = _piv_phase(A, J)
+            if timing:
+                device_sync(A_piv)
+        with _phase("a_mod_trsm"):
+            A_pre = _trsm_phase(A_piv, R_sk_safe, keep, cfg.trsm_mode,
+                                cfg.trsm_block, precision)
+            if timing:
+                device_sync(A_pre)
     with _phase("cholqr"):
         if timing:
             # sub-slot split (VERDICT r4 item 3: the slot became the

@@ -26,15 +26,27 @@ import jax
 import jax.numpy as jnp
 
 
-def trsm_right_upper_blockinv(A, R, block: int = 256, precision=None):
-    """Solve X · R = A for X, with R (n×n) upper-triangular, A (m×n),
-    by inverting the b×b diagonal blocks of R and GEMM-ing the rest.
+def trsm_right_upper_blockinv(A, R, block: int = 256, precision=None,
+                              cols=None):
+    """Solve X · R = A[:, cols] for X, with R (n×n) upper-triangular,
+    A (m×·), by inverting the b×b diagonal blocks of R and GEMM-ing the
+    rest.
+
+    ``cols`` (optional, traced int vector of length n) fuses the column
+    gather A[:, cols] into the per-block reads: the permuted operand is
+    never materialized as a full m×n array — each 256-column gather is a
+    producer XLA can fuse into the back-substitution subtract (CQRRPT's
+    a_mod_piv pass, ~2·m·n·4 bytes of pure traffic, disappears). Gathers
+    are device-safe on this backend (unlike block-width scatters — see
+    CLAUDE.md WORKER KILL #2).
 
     Falls back to ``jax.lax.linalg.triangular_solve`` when n doesn't
     divide into ≥2 blocks (no GEMM work to restructure).
     """
-    m, n = A.shape
+    n = R.shape[1]
     if n % block or n // block < 2:
+        if cols is not None:
+            A = jnp.take(A, cols, axis=1)
         return jax.lax.linalg.triangular_solve(
             R, A, left_side=False, lower=False)
     nb = n // block
@@ -45,9 +57,12 @@ def trsm_right_upper_blockinv(A, R, block: int = 256, precision=None):
                            (nb, block, block))
     dinv = jax.lax.linalg.triangular_solve(
         diag, eye, left_side=True, lower=False)
-    X = jnp.zeros_like(A)
+    X = jnp.zeros((A.shape[0], n), A.dtype)
     for j in range(nb):
-        Aj = A[:, j * block:(j + 1) * block]
+        if cols is not None:
+            Aj = jnp.take(A, cols[j * block:(j + 1) * block], axis=1)
+        else:
+            Aj = A[:, j * block:(j + 1) * block]
         if j:
             # static slice of the already-written block columns — XLA
             # keeps the dynamic_update_slice writes in place

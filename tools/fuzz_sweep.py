@@ -350,8 +350,12 @@ for trial in range(TRIALS):
                 K, _ = psd_from_eigvals(n, lam, RNGState(SEED + trial))
                 K = K * abs(scale)
                 tag += f" n{n} k{k}"
+                # tol is ABSOLUTE (the reference's err-est comparison,
+                # rl_revd2.hh:238-244) — scale it with the operand or the
+                # k-doubling legitimately stops at k0 on tiny-normed K
+                # (fuzz-check bug found at scale 9e-19, seed 851200 t42)
                 V, lam_o, k_used, err, fail, _ = revd2(
-                    K, k, 1e-10, REVD2Config(svd_method=svdm),
+                    K, k, 1e-10 * abs(scale), REVD2Config(svd_method=svdm),
                     RNGState(SEED + 5))
                 orth = float(jnp.linalg.norm(
                     jnp.matmul(V.T, V, precision=hp)
